@@ -1,0 +1,68 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.model.CanonTriple
+import graft.operators.Salting
+
+/** The materialized property graph (S5): node + edge DataFrames mirroring
+  * the reference's flattened entity rows (reference: api/MemCypherGraph.scala
+  * :118-140 — node = id + labels + properties; rel = id, source, target,
+  * relType, properties), re-expressed as fixed-schema columnar tables
+  * (SURVEY.md §1.4). Edge table is meant to be written partitioned by
+  * rel_type (scan pruning ≙ the reference's typeRelMap index,
+  * api/MemCypherGraph.scala:45).
+  */
+final case class GraphTables(nodes: DataFrame, edges: DataFrame)
+
+object Materialize {
+
+  /** Build node/edge tables from canonical triples.
+    *
+    * @param entityTypes optional (canon_name → label) mapping, e.g. the alias
+    *        dictionary's entity_type; unresolved entities get label "Entity".
+    */
+  def graph(canon: Dataset[CanonTriple], entityTypes: Option[DataFrame]): GraphTables = {
+    val spark = canon.sparkSession
+    GraftFunctions.register(spark)
+    val c = canon.toDF()
+
+    // Edge id: pure function of provenance + endpoints — stable under
+    // re-runs, repartitioning and resume (no positional id generation).
+    val edges = c.select(
+      GraftFunctions.fnv64(concat_ws("",
+        col("conv_id"), col("turn_idx"), col("sent_idx"), col("pred"),
+        col("subj_id"), col("obj_id"))).as("id"),
+      col("subj_id").as("src"),
+      col("obj_id").as("dst"),
+      col("pred").as("rel_type"),
+      col("conv_id"), col("turn_idx"))
+
+    // Node mention counts: the hub entity makes this a skewed groupBy key.
+    // count() is partial-aggregable (map-side combine flattens the skew), but
+    // we go through the salted two-phase helper so collect-style payloads
+    // (per-node provenance samples) ride the same safe path.
+    val sides = c.select(col("subj_id").as("id"), col("subj_name").as("name"), col("conv_id"))
+      .unionByName(c.select(col("obj_id").as("id"), col("obj_name").as("name"), col("conv_id")))
+    val counted = Salting.saltedAgg(
+      sides, Seq("id", "name"), Seq("conv_id"), salts = 16, samplePerKey = 8)
+
+    val labeled = entityTypes match {
+      case Some(types) =>
+        val t = types.select(col("canon_name").as("name"), col("entity_type"))
+          .groupBy("name").agg(min("entity_type").as("entity_type"))
+        counted.join(broadcast(t), Seq("name"), "left_outer")
+          .withColumn("label", coalesce(col("entity_type"), lit("Entity")))
+          .drop("entity_type")
+      case None => counted.withColumn("label", lit("Entity"))
+    }
+
+    val nodes = labeled.select(
+      col("id"), col("name"), array(col("label")).as("labels"),
+      col("n_mentions"), col("sample_conv_ids"))
+
+    GraphTables(nodes, edges)
+  }
+}

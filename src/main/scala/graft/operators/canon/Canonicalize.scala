@@ -1,0 +1,98 @@
+package graft.operators.canon
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.model.{CanonTriple, LinkedTriple}
+
+/** S4 — canonicalization: cluster every id that refers to the same entity
+  * (dictionary canonicals, LSH-linked surfaces, unresolved surface ids) via
+  * connected components over the alias graph, then rewrite triples to the
+  * component-canonical (id, name).
+  *
+  * Canonical representative per component: the lexicographically smallest
+  * dictionary canonical name if the component contains one, else the
+  * smallest surface — deterministic and SQL-expressible (the DuckDB oracle
+  * reproduces it).
+  */
+object Canonicalize {
+
+  /** Alias-graph edges: one edge per distinct (surface id ↔ resolved id)
+    * resolution observed in the linked triples, plus the dictionary's own
+    * (alias id ↔ canonical id) star so unseen alias variants still cluster.
+    */
+  def aliasEdges(linked: Dataset[LinkedTriple], dict: DataFrame): DataFrame = {
+    val l = linked.toDF()
+    def sideEdges(idCol: String, nameCol: String): DataFrame =
+      l.select(GraftFunctions.fnv64(lower(trim(col(nameCol)))).as("src"), col(idCol).as("dst"))
+    val fromTriples = sideEdges("subj_id", "subj_name")
+      .unionByName(sideEdges("obj_id", "obj_name"))
+    val fromDict = dict.select(
+      GraftFunctions.fnv64(col("alias")).as("src"),
+      col("canonical_id").cast("long").as("dst"))
+    fromTriples.unionByName(fromDict)
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** (id, name, is_dict) for every id the pipeline has seen — the name pool
+    * canonical representatives are chosen from.
+    */
+  def idNames(linked: Dataset[LinkedTriple], dict: DataFrame): DataFrame = {
+    val l = linked.toDF()
+    val fromTriples = l.select(col("subj_id").as("id"), col("subj_name").as("name"))
+      .unionByName(l.select(col("obj_id").as("id"), col("obj_name").as("name")))
+      .withColumn("is_dict", lit(false))
+    val fromDict = dict
+      .select(col("canonical_id").cast("long").as("id"), col("canonical_name").as("name"))
+      .withColumn("is_dict", lit(true))
+      .unionByName(dict.select(GraftFunctions.fnv64(col("alias")).as("id"),
+        col("canonical_name").as("name")).withColumn("is_dict", lit(true)))
+    fromTriples.unionByName(fromDict).distinct()
+  }
+
+  /** components(id, component) × idNames → (id, canon_id, canon_name). */
+  def canonMap(components: DataFrame, names: DataFrame): DataFrame = {
+    val member = components.join(names, Seq("id"))
+    // min-by (prefer dict names, then lexicographic) via struct ordering
+    val repr = member.groupBy("component")
+      .agg(min(struct((!col("is_dict")).cast("int").as("nd"), col("name"))).as("r"))
+      .select(col("component"), col("r.name").as("canon_name"))
+      .withColumn("canon_id", GraftFunctions.fnv64(col("canon_name")))
+    components.join(repr, Seq("component"))
+      .select(col("id"), col("canon_id"), col("canon_name"))
+  }
+
+  /** Rewrite linked triples to canonical ids/names. The two joins re-key the
+    * triple stream on entity id — the hub entity makes these keys skewed, so
+    * AQE skew-join splitting must be on (set in the session); canonMap is
+    * entity-count-sized, typically far smaller than the triple stream.
+    */
+  def apply(linked: Dataset[LinkedTriple], dict: DataFrame): Dataset[CanonTriple] = {
+    val spark = linked.sparkSession
+    import spark.implicits._
+    val edges = aliasEdges(linked, dict)
+    val comps = ConnectedComponents.run(edges)
+    val cmap = canonMap(comps, idNames(linked, dict))
+    rewrite(linked, cmap)
+  }
+
+  def rewrite(linked: Dataset[LinkedTriple], cmap: DataFrame): Dataset[CanonTriple] = {
+    val spark = linked.sparkSession
+    import spark.implicits._
+    val s = cmap.select(col("id").as("subj_id"), col("canon_id").as("s_cid"), col("canon_name").as("s_cname"))
+    val o = cmap.select(col("id").as("obj_id"), col("canon_id").as("o_cid"), col("canon_name").as("o_cname"))
+    linked.toDF()
+      .join(s, Seq("subj_id"), "left_outer")
+      .join(o, Seq("obj_id"), "left_outer")
+      .select(
+        col("conv_id"), col("turn_idx"), col("sent_idx"),
+        coalesce(col("s_cid"), col("subj_id")).as("subj_id"),
+        coalesce(col("s_cname"), col("subj_name")).as("subj_name"),
+        col("pred"),
+        coalesce(col("o_cid"), col("obj_id")).as("obj_id"),
+        coalesce(col("o_cname"), col("obj_name")).as("obj_name"))
+      .as[CanonTriple]
+  }
+}

@@ -1,0 +1,179 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.model.{AliasEntry, GoldTriple, Turn}
+import graft.util.Hashing
+
+/** Deterministic synthetic transcript corpus (FIXTURES.md §1): a pure
+  * function of (seed, conversation ordinal, turn index) via a splittable
+  * hash — any subset of conversations regenerates identically, so executors
+  * generate their partitions independently with zero shuffle and zero driver
+  * data movement. This is the scale knob: the same generator drives tiny unit
+  * fixtures and the ~10⁶-turn bench corpus (schema is the 10¹²-turn shape).
+  *
+  * Every templated sentence carries a known gold triple, so golden labels for
+  * the P/R gate come for free. A configurable fraction of org mentions hits
+  * one hub entity (power-law head) to exercise the salting/AQE-skew paths.
+  */
+object TranscriptGen {
+
+  final case class Config(
+      nConv: Long,
+      seed: Long = 42L,
+      hubFrac: Double = 0.20,
+      aliasNoise: Boolean = true)
+
+  final case class Entity(canonical: String, typ: String, aliases: Seq[String])
+
+  // ---- vocabulary (fixed, no periods anywhere — periods would collide with
+  // sentence splitting) ----
+  private val firstNames = Vector("Ada", "Alan", "Grace", "Edsger", "Barbara", "Donald",
+    "John", "Leslie", "Robin", "Tony", "Frances", "Niklaus", "Ken", "Dennis", "Bjarne",
+    "Guido", "Anders", "Rich", "Martin", "Simon")
+  private val lastNames = Vector("Lovelace", "Turing", "Hopper", "Dijkstra", "Liskov",
+    "Knuth", "McCarthy", "Lamport", "Milner", "Hoare", "Allen", "Wirth", "Thompson",
+    "Ritchie", "Stroustrup", "Rossum", "Hejlsberg", "Hickey", "Odersky", "Jones")
+  private val orgHeads = Vector("Acme", "Globex", "Initech", "Umbrella", "Stark",
+    "Wayne", "Tyrell", "Cyberdyne", "Aperture", "Vertex", "Hooli", "Prime", "Nimbus",
+    "Quantum", "Atlas")
+  private val orgTails = Vector("Corp", "Labs", "Systems", "Industries", "Group")
+  private val places = Vector("Paris", "London", "Berlin", "Tokyo", "Sydney", "Oslo",
+    "Madrid", "Lisbon", "Vienna", "Prague", "Dublin", "Zurich", "Geneva", "Helsinki",
+    "Warsaw", "Athens", "Rome", "Cairo", "Delhi", "Seoul")
+  private val countries = Vector("France", "England", "Germany", "Japan", "Australia",
+    "Norway", "Spain", "Portugal", "Austria", "Czechia", "Ireland", "Switzerland",
+    "Helvetia", "Finland", "Poland", "Greece", "Italy", "Egypt", "India", "Korea")
+
+  private def typo(s: String): String = // deterministic edit-distance-1 variant
+    if (s.length < 5) s else s.substring(0, s.length / 2) + s.substring(s.length / 2 + 1)
+
+  val persons: Vector[Entity] = (0 until 20).toVector.map { i =>
+    val c = s"${firstNames(i)} ${lastNames(i)}"
+    Entity(c, "Person", Vector(c, c.toLowerCase, s"${firstNames(i).head} ${lastNames(i)}", typo(c)))
+  }
+  val orgs: Vector[Entity] = (0 until 15).toVector.map { i =>
+    val c = s"${orgHeads(i)} ${orgTails(i % orgTails.size)}"
+    Entity(c, "Org", Vector(c, c.toLowerCase, orgHeads(i), typo(c)))
+  }
+  val placeEnts: Vector[Entity] = (0 until 20).toVector.map { i =>
+    Entity(places(i), "Place", Vector(places(i), places(i).toLowerCase, typo(places(i))))
+  }
+  val countryEnts: Vector[Entity] = (0 until 20).toVector.map { i =>
+    Entity(countries(i), "Place", Vector(countries(i), countries(i).toLowerCase))
+  }
+  val all: Vector[Entity] = persons ++ orgs ++ placeEnts ++ countryEnts
+
+  /** Broadcast-sized alias dictionary (FIXTURES.md §2): alias (normalized) →
+    * canonical id/name/type. Canonical id = fnv64(canonical name) — stable,
+    * derivable on any executor, never positional.
+    */
+  def aliasDict: Seq[AliasEntry] =
+    all.flatMap { e =>
+      val id = Hashing.fnv64(e.canonical)
+      e.aliases.distinct.map(a => AliasEntry(a.toLowerCase, id, e.canonical, e.typ))
+    }.distinct
+
+  private val distractors = Vector(
+    "please run the query again",
+    "the weather was pleasant yesterday",
+    "let me think about that for a moment",
+    "here are the results you requested",
+    "could you clarify the last point",
+    "that matches what the log shows",
+    "thanks, that answers my question")
+
+  private val tools = Vector("search", "code", "browse", "db")
+
+  // template id → (render, pred, subj pool selector, obj pool selector)
+  private final case class Template(
+      pred: String,
+      render: (String, String, Int) => String,
+      subjPool: Int, // 0 person, 1 org, 2 place, 3 country, 4 any
+      objPool: Int)
+
+  private val templates: Vector[Template] = Vector(
+    Template("WORKS_AT", (s, o, _) => s"$s works at $o", 0, 1),
+    Template("FOUNDED_BY", (s, o, y) => s"$s was founded by $o in $y", 1, 0),
+    Template("LIVES_IN", (s, o, _) => s"$s lives in $o", 0, 2),
+    Template("LOCATED_IN", (s, o, _) => s"$s is located in $o", 1, 2),
+    Template("BASED_IN", (s, o, _) => s"$s is based in $o", 1, 2),
+    Template("ASKED_ABOUT", (s, o, _) => s"I asked $s about $o", 0, 4),
+    Template("MOVED_TO", (s, o, _) => s"$s moved to $o", 0, 2),
+    Template("ACQUIRED", (s, o, _) => s"$s acquired $o", 1, 1),
+    Template("CAPITAL_OF", (s, o, _) => s"$s is the capital of $o", 2, 3),
+    Template("REPORTS_TO", (s, o, _) => s"$s reports to $o", 0, 0))
+
+  private def pickEntity(pool: Int, cfg: Config, ks: Any*): Entity = pool match {
+    case 0 => persons(Hashing.draw(persons.size, cfg.seed, "p", ks))
+    case 1 => // hub skew lives here: a hubFrac slice of org picks collapses to orgs(0)
+      if (Hashing.unit(cfg.seed, "hub", ks) < cfg.hubFrac) orgs(0)
+      else orgs(Hashing.draw(orgs.size, cfg.seed, "o", ks))
+    case 2 => placeEnts(Hashing.draw(placeEnts.size, cfg.seed, "l", ks))
+    case 3 => countryEnts(Hashing.draw(countryEnts.size, cfg.seed, "c", ks))
+    case _ => all(Hashing.draw(all.size, cfg.seed, "a", ks))
+  }
+
+  private def surfaceOf(e: Entity, cfg: Config, ks: Any*): String =
+    if (!cfg.aliasNoise) e.canonical
+    else e.aliases(Hashing.draw(e.aliases.size, cfg.seed, "al", ks))
+
+  private val baseEpoch = 1735689600L // 2025-01-01T00:00:00Z
+
+  def convId(ordinal: Long): String = f"conv-$ordinal%08d"
+
+  /** Generate one conversation — pure function of (cfg, ordinal). */
+  def genConv(ordinal: Long, cfg: Config): (Seq[Turn], Seq[GoldTriple]) = {
+    val cid = convId(ordinal)
+    val nTurns = 3 + Hashing.draw(38, cfg.seed, "nt", cid)
+    val turns = Vector.newBuilder[Turn]
+    val gold = Vector.newBuilder[GoldTriple]
+    var t = 0
+    while (t < nTurns) {
+      val isTool = t > 0 && Hashing.draw(6, cfg.seed, "tl", cid, t) == 0
+      val role = if (isTool) "tool" else if (t % 2 == 0) "user" else "assistant"
+      val tool = if (isTool) tools(Hashing.draw(tools.size, cfg.seed, "tn", cid, t)) else null
+      val nSent = 1 + Hashing.draw(3, cfg.seed, "ns", cid, t)
+      val sents = (0 until nSent).map { j =>
+        if (Hashing.unit(cfg.seed, "d", cid, t, j) < 0.35)
+          distractors(Hashing.draw(distractors.size, cfg.seed, "dx", cid, t, j))
+        else {
+          val tm = templates(Hashing.draw(templates.size, cfg.seed, "tm", cid, t, j))
+          val se = pickEntity(tm.subjPool, cfg, cid, t, j, "s")
+          var oe = pickEntity(tm.objPool, cfg, cid, t, j, "ob")
+          if (oe.canonical == se.canonical) // avoid self-loops in gold
+            oe = pickEntity(tm.objPool, cfg, cid, t, j, "ob2")
+          val year = 1960 + Hashing.draw(60, cfg.seed, "y", cid, t, j)
+          val ss = surfaceOf(se, cfg, cid, t, j, "s")
+          val os = surfaceOf(oe, cfg, cid, t, j, "o")
+          gold += GoldTriple(cid, t, ss, tm.pred, os)
+          tm.render(ss, os, year)
+        }
+      }
+      val text = sents.map(_ + ".").mkString(" ")
+      val ts = new Timestamp((baseEpoch + ordinal * 3600 + t * 7) * 1000L)
+      turns += Turn(cid, t, role, text, tool, ts)
+      t += 1
+    }
+    (turns.result(), gold.result())
+  }
+
+  /** Distributed generation: `spark.range` partitions the ordinal space; each
+    * executor synthesizes its conversations locally (no shuffle, no driver
+    * materialization — this is how the shape scales to 10¹² turns: ordinals
+    * partition trivially across any number of executors).
+    */
+  def turns(spark: SparkSession, cfg: Config, partitions: Int = 0): Dataset[Turn] = {
+    import spark.implicits._
+    val n = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism * 4
+    spark.range(0, cfg.nConv, 1, n).flatMap(o => genConv(o, cfg)._1)
+  }
+
+  def gold(spark: SparkSession, cfg: Config, partitions: Int = 0): Dataset[GoldTriple] = {
+    import spark.implicits._
+    val n = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism * 4
+    spark.range(0, cfg.nConv, 1, n).flatMap(o => genConv(o, cfg)._2)
+  }
+}

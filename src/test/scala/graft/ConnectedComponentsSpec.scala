@@ -1,0 +1,74 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators.canon.ConnectedComponents
+
+/** CC correctness vs a driver-side union-find oracle (FIXTURES.md §3
+  * gold_components), across graph shapes that stress the algorithm: chains
+  * (diameter), stars (skew), random, and disconnected singletons. Also
+  * asserts the result is independent of input partitioning.
+  */
+class ConnectedComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    ids.map(i => i -> find(i)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)], parts: Int = 4): Unit = {
+    val df = edges.toDF("src", "dst").repartition(parts)
+    val got = ConnectedComponents.run(df).as[(Long, Long)].collect().toMap
+    val want = unionFind(0, edges)
+    assert(got == want, s"edges=$edges")
+  }
+
+  test("chain graph (worst-case diameter)") {
+    check((0L until 40L).map(i => (i, i + 1)))
+  }
+
+  test("star graph with high-degree hub") {
+    check((1L to 200L).map(i => (0L, i)))
+  }
+
+  test("two components + reversed edges + duplicates") {
+    check(Seq((5L, 1L), (1L, 5L), (5L, 9L), (20L, 30L), (30L, 20L), (20L, 40L), (40L, 30L)))
+  }
+
+  test("random graphs match union-find") {
+    val rnd = new Random(42)
+    for (trial <- 0 until 5) {
+      val n = 100 + trial * 50
+      val edges = (0 until n).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(e => e._1 != e._2)
+      check(edges, parts = 3 + trial)
+    }
+  }
+
+  test("result independent of partitioning") {
+    val edges = (0L until 30L).map(i => (i, (i * 7) % 31))
+    val a = ConnectedComponents.run(edges.toDF("src", "dst").repartition(2))
+      .as[(Long, Long)].collect().toMap
+    val b = ConnectedComponents.run(edges.toDF("src", "dst").repartition(13))
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("runWithVertices includes isolated vertices as their own component") {
+    val vertices = Seq(1L, 2L, 3L, 99L).toDF("id")
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = ConnectedComponents.runWithVertices(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 99L -> 99L))
+  }
+}
