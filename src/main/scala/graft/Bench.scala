@@ -1,24 +1,84 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+
+import graft.plans.Pipeline
+import graft.sources.TranscriptGen
+
+/** Benchmark main (driver contract): times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR, then measures full-pipeline throughput (turns/sec) at
+  * two parallelism levels — local[8] vs local[32] on identical input — as
+  * the sandbox proxy for the N vs 4N executor-cluster scaling-efficiency
+  * criterion (BASELINE.md). Prints exactly ONE JSON line.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def rmrf(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+  }
+
+  /** One full pipeline run at the given parallelism; returns (turns, sec). */
+  private def pipelineRun(cores: Int, nConv: Long): (Long, Double) = {
+    val dir = s"/tmp/graft-bench-$cores"
+    rmrf(dir)
+    val spark = session(cores)
+    val t0 = System.nanoTime()
+    val r = Pipeline.run(spark, Pipeline.Config(dir, TranscriptGen.Config(nConv = nConv)))
+    val sec = (System.nanoTime() - t0) / 1e9
+    val turns = r.turns
+    spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    rmrf(dir)
+    (turns, sec)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nConv = sys.env.getOrElse("GRAFT_BENCH_CONV", "8000").toLong
+
+    val spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+
+    // scaling evidence: identical pipeline job at 8 and 32 cores
+    val (turns8, sec8) = pipelineRun(8, nConv)
+    val (turns32, sec32) = pipelineRun(32, nConv)
+    val tput8 = turns8 / sec8
+    val tput32 = turns32 / sec32
+    val eff = (tput32 / tput8) / 4.0
+
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val scaling = f"""{"n_conv":$nConv,"turns":$turns8,""" +
+      f""""sec_8":$sec8%.2f,"sec_32":$sec32%.2f,""" +
+      f""""turns_per_sec_8":$tput8%.1f,"turns_per_sec_32":$tput32%.1f,""" +
+      f""""scaling_efficiency":$eff%.3f}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_scaling":$scaling}""")
   }
 }

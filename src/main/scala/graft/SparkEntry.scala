@@ -1,13 +1,366 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.graph.Materialize
+import graft.model.RawTriple
+import graft.operators.canon.{Canonicalize, ConnectedComponents}
+import graft.operators.dedup.Dedup
+import graft.operators.extract.Extract
+import graft.operators.link.EntityLinker
+import graft.operators.multimodal.Multimodal
+import graft.operators.similarity.SimilaritySearch
+import graft.operators.text.TextAnalysis
+import graft.sources.TpchKg
+
+/** Driver contract: one query per implemented operator (SURVEY.md §2 +
+  * BASELINE.json pipeline stages + training-data ops), each with a DuckDB
+  * oracle over the same parquet tables where SQL can express it.
+  *
+  * The kg_* queries run the REAL pipeline stages (extraction, linking, CC
+  * canonicalization, materialization) over a transcript table derived
+  * deterministically from customer⋈nation⋈region — so the oracle verifies
+  * the pipeline end to end, including the per-turn text-equality invariant.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    TpchKg.table(s, dir, name)
+
+  /** Flagship: the full KG pipeline (extract → link → canonicalize →
+    * materialize) on sf=0.001, returning the edge list with entity names.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    kgEdges(spark, "/root/testdata/sf0.001")
+
+  private def kgLinked(s: SparkSession, dir: String) = {
+    import s.implicits._
+    EntityLinker.link(
+      Extract.triples(TpchKg.turns(s, dir)), TpchKg.dict(s, dir), useLsh = false)
+  }
+
+  private def kgGraph(s: SparkSession, dir: String) = {
+    val linked = kgLinked(s, dir)
+    val canon = Canonicalize(linked, TpchKg.dict(s, dir))
+    val types = TpchKg.dict(s, dir)
+      .select(col("canonical_name").as("canon_name"), col("entity_type")).distinct()
+    Materialize.graph(canon, Some(types))
+  }
+
+  private def kgEdges(s: SparkSession, dir: String): DataFrame = {
+    val g = kgGraph(s, dir)
+    g.edges
+      .join(g.nodes.select(col("id").as("src"), col("name").as("src_name")), "src")
+      .join(g.nodes.select(col("id").as("dst"), col("name").as("dst_name")), "dst")
+      .select(col("conv_id"), col("turn_idx"), col("src_name"), col("rel_type"), col("dst_name"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- KG pipeline stages (real pipeline code, oracle-checked) ----
+    "kg_transcripts" -> ((s, dir) => TpchKg.transcripts(s, dir)),
+    "kg_mentions" -> ((s, dir) =>
+      Extract.mentions(TpchKg.turns(s, dir), TpchKg.gazetteer(s, dir))
+        .select(col("conv_id"), col("turn_idx"), col("norm"))),
+    "kg_triples" -> ((s, dir) =>
+      Extract.triples(TpchKg.turns(s, dir))
+        .select(col("conv_id"), col("turn_idx"), col("subj"), col("pred"), col("obj"))),
+    "kg_linked" -> ((s, dir) =>
+      kgLinked(s, dir)
+        .select(col("conv_id"), col("turn_idx"), col("subj_name"), col("pred"), col("obj_name"))),
+    "kg_components" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val ents = TpchKg.entityNames(s, dir).select("name").distinct()
+      val vars = ents.select(col("name"),
+        explode(array(col("name"), lower(col("name")), upper(col("name")))).as("member"))
+        .distinct()
+      val edges = vars.select(GraftFunctions.fnv64(col("name")).as("src"),
+        GraftFunctions.fnv64(col("member")).as("dst"))
+        .where(col("src") =!= col("dst"))
+      val comps = ConnectedComponents.run(edges)
+      val idName = vars.select(GraftFunctions.fnv64(col("member")).as("id"), col("member")).distinct()
+      val canon = comps.join(idName, "id")
+        .groupBy("component").agg(min("member").as("canon"))
+      comps.join(idName, "id").join(canon, "component")
+        .select(col("member"), col("canon")).distinct()
+    }),
+    "kg_nodes" -> ((s, dir) =>
+      kgGraph(s, dir).nodes
+        .select(col("name"), element_at(col("labels"), 1).as("label"), col("n_mentions"))),
+    "kg_edges" -> ((s, dir) => kgEdges(s, dir)),
+
+    // ---- relational operator coverage (SURVEY.md §2.1/2.2) ----
+    "q01_scan_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem").where(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))),
+    "q02_project" -> ((s, dir) =>
+      t(s, dir, "lineitem").where(col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
+            .as("revenue_cents"))),
+    "q03_distinct" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey")).distinct()),
+    "q04_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        count(lit(1)).as("n"),
+        (sum(col("l_quantity").cast("decimal(18,2)")) * 100).cast("long").as("sum_qty_c"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)")) * 100).cast("long").as("sum_price_c"),
+        min(col("l_discount")).as("min_disc"),
+        max(col("l_quantity")).as("max_qty"))),
+    "q05_count_distinct" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderpriority")).agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n"))),
+    "q06_collect" -> ((s, dir) =>
+      t(s, dir, "nation").groupBy(col("n_regionkey")).agg(
+        concat_ws(",", sort_array(collect_list(col("n_name")))).as("names"),
+        count(lit(1)).as("n"))),
+    "q07_join_inner" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))),
+    "q08_join_left" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .join(t(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"), "left_outer")
+        .groupBy(col("n_name")).agg(count(col("c_custkey")).as("n_cust"))),
+    "q09_join_anti" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").where(col("o_totalprice") > 150000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+    "q10_union" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"), col("n_name").as("name"),
+          lit("nation").as("src"))
+        .unionByName(t(s, dir, "region")
+          .select(col("r_regionkey").cast("long").as("id"), col("r_name").as("name"),
+            lit("region").as("src")))),
+    "q11_orderby_limit" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+    "q12_global_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"))),
+    "q13_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+    }),
+    "q14_events_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_sec"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast("decimal(18,4)")) * 10000).cast("long").as("sum_v_e4"))),
+    "q15_cross" -> ((s, dir) =>
+      t(s, dir, "region").select(col("r_name").as("a_name"))
+        .crossJoin(t(s, dir, "region").select(col("r_name").as("b_name")))),
+
+    // ---- training-data ops: dedup ----
+    "dd_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
+    "dd_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(t(s, dir, "documents").where(col("doc_id") < 300),
+        "text", "doc_id", n = 3, threshold = 0.2)),
+    "dd_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents").where(col("doc_id") < 300),
+        "text", "doc_id", threshold = 0.2)),
+    "dd_simhash" -> ((s, dir) =>
+      Dedup.simhashCandidates(t(s, dir, "documents").where(col("doc_id") < 300),
+        "text", "doc_id", maxHamming = 6)),
+    "dd_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(t(s, dir, "embeddings").where(col("vec_id") < 300),
+        "embedding", "vec_id", threshold = 0.35)),
+
+    // ---- similarity search ----
+    "sim_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.bruteTopK(emb, emb.where(col("vec_id") < 5), "embedding", "vec_id", 3)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+    "sim_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.lshTopK(emb, emb.where(col("vec_id") < 5), "embedding", "vec_id", 3)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // ---- text analysis ----
+    "ta_langid" -> ((s, dir) => TextAnalysis.languageId(t(s, dir, "documents"), "text", "doc_id")),
+    "ta_quality" -> ((s, dir) => TextAnalysis.quality(t(s, dir, "documents"), "text", "doc_id")),
+    "ta_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"), "text", "doc_id")),
+    "ta_fingerprint" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "text", "doc_id")
+    }),
+
+    // ---- multimodal plumbing ----
+    "mm_meta" -> ((s, dir) =>
+      Multimodal.nativeMeta(
+        Multimodal.withSyntheticPayload(t(s, dir, "documents"), "text"), "payload", "doc_id")),
+    "mm_decode" -> ((s, dir) =>
+      Multimodal.decodeMeta(
+        Multimodal.withSyntheticPayload(t(s, dir, "documents"), "text"), "payload", "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.n_bytes").as("n_bytes"), col("meta.width").as("width"),
+          col("meta.height").as("height")))
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles (driver runs these on the same parquet tables)
+  // ------------------------------------------------------------------
+
+  private val B = TpchKg.baseSql
+  private val T = TpchKg.transcriptsSql
+
+  def oracleSql: Map[String, String] = Map(
+    "kg_transcripts" ->
+      s"WITH b AS ($B), t AS ($T) SELECT conv_id, turn_idx, role, text, tool, ts_sec FROM t",
+    "kg_mentions" ->
+      (s"WITH b AS ($B) SELECT conv_id, turn_idx, norm FROM (" +
+        "SELECT conv_id, 0 AS turn_idx, lower(c_name) AS norm FROM b " +
+        "UNION ALL SELECT conv_id, 1, lower(c_name) FROM b " +
+        "UNION ALL SELECT conv_id, 1, lower(n_name) FROM b " +
+        "UNION ALL SELECT conv_id, 2, lower(n_name) FROM b " +
+        "UNION ALL SELECT conv_id, 2, lower(r_name) FROM b " +
+        "UNION ALL SELECT conv_id, 3, lower(c_name) FROM b " +
+        "UNION ALL SELECT conv_id, 3, lower(r_name) FROM b)"),
+    "kg_triples" ->
+      (s"WITH b AS ($B) SELECT conv_id, turn_idx, subj, pred, obj FROM (" +
+        "SELECT conv_id, 1 AS turn_idx, upper(c_name) AS subj, 'LIVES_IN' AS pred, n_name AS obj FROM b " +
+        "UNION ALL SELECT conv_id, 2, n_name, 'LOCATED_IN', r_name FROM b " +
+        "UNION ALL SELECT conv_id, 3, lower(c_name), 'BASED_IN', lower(r_name) FROM b)"),
+    "kg_linked" ->
+      (s"WITH b AS ($B) SELECT conv_id, turn_idx, subj_name, pred, obj_name FROM (" +
+        "SELECT conv_id, 1 AS turn_idx, c_name AS subj_name, 'LIVES_IN' AS pred, n_name AS obj_name FROM b " +
+        "UNION ALL SELECT conv_id, 2, n_name, 'LOCATED_IN', r_name FROM b " +
+        "UNION ALL SELECT conv_id, 3, c_name, 'BASED_IN', r_name FROM b)"),
+    "kg_components" ->
+      ("WITH e AS (SELECT c_name AS name FROM customer UNION SELECT n_name FROM nation " +
+        "UNION SELECT r_name FROM region), " +
+        "v AS (SELECT name, unnest([name, lower(name), upper(name)]) AS member FROM e) " +
+        "SELECT DISTINCT member, least(name, lower(name), upper(name)) AS canon FROM v"),
+    "kg_nodes" ->
+      (s"WITH b AS ($B) SELECT name, label, n_mentions FROM (" +
+        "SELECT c_name AS name, 'Customer' AS label, CAST(2 AS BIGINT) AS n_mentions FROM b " +
+        "UNION ALL SELECT n_name, 'Nation', CAST(2*COUNT(*) AS BIGINT) FROM b GROUP BY n_name " +
+        "UNION ALL SELECT r_name, 'Region', CAST(2*COUNT(*) AS BIGINT) FROM b GROUP BY r_name)"),
+    "kg_edges" ->
+      (s"WITH b AS ($B) SELECT conv_id, turn_idx, src_name, rel_type, dst_name FROM (" +
+        "SELECT conv_id, 1 AS turn_idx, c_name AS src_name, 'LIVES_IN' AS rel_type, n_name AS dst_name FROM b " +
+        "UNION ALL SELECT conv_id, 2, n_name, 'LOCATED_IN', r_name FROM b " +
+        "UNION ALL SELECT conv_id, 3, c_name, 'BASED_IN', r_name FROM b)"),
+
+    "q01_scan_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_quantity > 45",
+    "q02_project" ->
+      ("SELECT l_orderkey, l_linenumber, CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) " +
+        "AS revenue_cents FROM lineitem WHERE l_discount > 0.05"),
+    "q03_distinct" -> "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q04_agg" ->
+      ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_c, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_c, " +
+        "MIN(l_discount) AS min_disc, MAX(l_quantity) AS max_qty " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "q05_count_distinct" ->
+      ("SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n " +
+        "FROM orders GROUP BY o_orderpriority"),
+    "q06_collect" ->
+      ("SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names, COUNT(*) AS n " +
+        "FROM nation GROUP BY n_regionkey"),
+    "q07_join_inner" ->
+      ("SELECT c_custkey, c_name, n_name, r_name FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey"),
+    "q08_join_left" ->
+      ("SELECT n_name, COUNT(c_custkey) AS n_cust FROM nation " +
+        "LEFT JOIN customer ON n_nationkey = c_nationkey GROUP BY n_name"),
+    "q09_join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000)"),
+    "q10_union" ->
+      ("SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name, 'nation' AS src FROM nation " +
+        "UNION ALL SELECT CAST(r_regionkey AS BIGINT), r_name, 'region' FROM region"),
+    "q11_orderby_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+    "q12_global_agg" ->
+      "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem",
+    "q13_window" ->
+      ("SELECT o_custkey, o_orderkey, rnk FROM (SELECT o_custkey, o_orderkey, " +
+        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk " +
+        "FROM orders) WHERE rnk <= 2"),
+    "q14_events_hourly" ->
+      ("SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_sec, event_type, " +
+        "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_v_e4 " +
+        "FROM events GROUP BY 1, 2"),
+    "q15_cross" ->
+      "SELECT a.r_name AS a_name, b.r_name AS b_name FROM region a CROSS JOIN region b",
+
+    "dd_exact" ->
+      ("WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents) " +
+        "SELECT a.doc_id, r.rep_id FROM n a JOIN " +
+        "(SELECT t, MIN(doc_id) AS rep_id FROM n GROUP BY t) r ON a.t = r.t"),
+    "dd_ngram_jaccard" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 300), " +
+        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+        "FROM d, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)), " +
+        "cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common FROM sh a " +
+        "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "j AS (SELECT id_a, id_b, n_common, CAST(n_common AS DOUBLE) / " +
+        "CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE) AS jac FROM p " +
+        "JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b) " +
+        "SELECT id_a, id_b, n_common, CAST(ROUND(jac * 1000) AS BIGINT) AS jac_pm FROM j WHERE jac >= 0.2"),
+
+    "sim_topk" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5), " +
+        "d AS (SELECT vec_id AS neighbor_id, embedding AS de FROM embeddings), " +
+        "dots AS (SELECT query_id, neighbor_id, " +
+        "SUM(CAST(qe[i] AS DOUBLE) * CAST(de[i] AS DOUBLE)) AS dot, " +
+        "SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS qq, " +
+        "SUM(CAST(de[i] AS DOUBLE) * CAST(de[i] AS DOUBLE)) AS dd " +
+        "FROM q, d, UNNEST(generate_series(1, len(qe))) AS t(i) " +
+        "WHERE query_id != neighbor_id GROUP BY 1, 2) " +
+        "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot / (sqrt(qq) * sqrt(dd)) DESC, neighbor_id ASC) AS BIGINT) AS rank " +
+        "FROM dots) WHERE rank <= 3"),
+
+    "ta_langid" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, " +
+        "CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS score_en, " +
+        "CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS score_de, " +
+        "CAST(len(list_filter(toks, x -> x IN ('le','la','et','est','les'))) AS BIGINT) AS score_fr, " +
+        "CAST(len(list_filter(toks, x -> x IN ('el','la','y','es','los'))) AS BIGINT) AS score_es FROM t) " +
+        "SELECT doc_id, score_en, score_de, score_fr, score_es, " +
+        "CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und' " +
+        "WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en' " +
+        "WHEN score_de >= score_fr AND score_de >= score_es THEN 'de' " +
+        "WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END AS predicted_lang FROM s"),
+    "ta_quality" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(length(text) AS BIGINT) AS n_chars, " +
+        "CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct, " +
+        "CAST(ROUND(CAST(len(list_filter(string_split(text, ' '), " +
+        "x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE) / " +
+        "CAST(len(string_split(text, ' ')) AS DOUBLE) * 1000) AS BIGINT) AS stopword_pm " +
+        "FROM documents"),
+    "ta_tokens" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_re_tokens " +
+        "FROM documents"),
+
+    "mm_meta" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "lower(hex(encode(substr(text, 1, 4)))) AS magic_hex FROM documents")
+  )
 }

@@ -1,0 +1,161 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Large-scale document deduplication operators (training-data pipeline
+  * surface). All pure native-function plans — codegen'd end to end; the only
+  * shuffles are the semantic ones (group on dedup key / candidate-pair key).
+  *
+  * Scale shapes:
+  *  - exact: one hash-groupBy on a 64-bit fingerprint (never on raw text —
+  *    hashing first keeps shuffle rows narrow at 100 TB);
+  *  - MinHash-LSH: corpus×corpus near-dup via banded signature self-join —
+  *    band width tuned so candidate volume stays linear-ish; candidates
+  *    verified with true Jaccard before reporting;
+  *  - SimHash: 64-bit signature + banding for Hamming-adjacent candidates.
+  */
+object Dedup {
+
+  /** Token n-gram shingles (1-based element_at keeps SQL parity). Guarded:
+    * Spark's sequence(1, 0) counts DOWN, so short docs need an explicit
+    * empty-array branch.
+    */
+  def tokenShingles(textCol: Column, n: Int): Column = {
+    val toks = split(textCol, " ")
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: representative = min id per normalized-content fingerprint.
+    * Returns (idCol, rep_id). The groupBy key is the 64-bit fingerprint, not
+    * the document text.
+    */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withFp = docs.select(col(idCol), GraftFunctions.fingerprint(col(textCol)).as("fp"))
+    val reps = withFp.groupBy("fp").agg(min(col(idCol)).as("rep_id"))
+    withFp.join(reps, "fp").select(col(idCol), col("rep_id"))
+  }
+
+  /** MinHash signatures over token-3-gram shingles. */
+  def minhashSig(textCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      k => array_min(transform(tokenShingles(textCol, 3), s => xxhash64(s, k))))
+
+  /** MinHash-LSH near-dup candidate pairs, verified by true shingle Jaccard.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    */
+  def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, bandSize: Int = 4, threshold: Double = 0.6): DataFrame = {
+    val numBands = numHashes / bandSize
+    val sigd = docs.select(col(idCol).as("id"),
+      tokenShingles(col(textCol), 3).as("sh"),
+      minhashSig(col(textCol), numHashes).as("sig"))
+    val banded = sigd.select(col("id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => xxhash64((0 until bandSize).map(i =>
+          element_at(col("sig"), b * bandSize + i + 1)) :+ b: _*))).as("bucket"))
+    val a = banded.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct() // same pair can collide in several bands
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over token hashes: bit j of the signature is the sign of
+    * sum over tokens of (token has bit j ? +1 : -1).
+    */
+  def simhash(textCol: Column): Column = {
+    val hashes = transform(split(textCol, " "), t => xxhash64(t))
+    // unrolled per bit (shift amounts must be Scala Ints); disjoint bits are
+    // combined with OR — overflow-free under ANSI mode
+    (0 until 64).map { j =>
+      val bitSum = aggregate(hashes, lit(0), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** SimHash near-dup candidates: split the 64-bit signature into `bands`
+    * chunks; docs sharing any chunk are candidates (catches Hamming distance
+    * < bands). Returns (id_a, id_b, hamming).
+    */
+  def simhashCandidates(docs: DataFrame, textCol: String, idCol: String,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val width = 64 / bands
+    val sigd = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = sigd.select(col("id"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * width).bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.chunk"))
+    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs above a threshold —
+    * the small-scale oracle-checkable variant (candidate generation by
+    * shared-shingle join; at corpus scale prefer [[minhashLsh]]).
+    * Returns (id_a, id_b, n_common, jac_pm) where jac_pm = round(j * 1000).
+    */
+  def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), tokenShingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val a = sh.select(col("s"), col("id").as("id_a"), col("n_sh").as("na"))
+    val b = sh.select(col("s"), col("id").as("id_b"), col("n_sh").as("nb"))
+    a.join(b, Seq("s"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jac", col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")).cast("double"))
+      .where(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        round(col("jac") * 1000).cast("long").as("jac_pm"))
+  }
+
+  /** Embedding near-dup: cosine >= threshold pairs via brute candidate pairs
+    * (bounded input) — see graft.operators.similarity for the LSH-bucketed
+    * scale path.
+    */
+  def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val a = e.select(col("id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("id").as("id_b"), col("v").as("vb"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos") * 1000).cast("long").as("cos_pm"))
+  }
+}
+
+/** Cosine helpers shared by dedup + similarity search. */
+object Similarity {
+  import org.apache.spark.sql.functions._
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def norm(a: Column): Column = sqrt(dot(a, a))
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}
