@@ -1,0 +1,61 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tiny pattern-match combinator layer over a property graph — the Spark
+  * re-expression of the reference's physical operator algebra (SURVEY.md
+  * §2.1): NodeScan/RelScan (label/type-pruned scans,
+  * reference: api/MemCypherGraph.scala:82-116), Expand (join,
+  * reference: api/MemCypherRecords.scala:182-218), Filter/Project/Select/
+  * Distinct/OrderBy/Union (reference: impl/planning/UnaryOperator.scala).
+  * Used by the ported acceptance tests; each combinator is a declarative
+  * DataFrame transform, so Catalyst owns pushdown/pruning/join strategy —
+  * the layer adds zero physical machinery.
+  *
+  * Variable binding follows the reference's RecordHeader naming
+  * (impl/table/RecordHeaderUtils.scala:23-27): a bound variable `n`
+  * contributes columns `n_<col>` for every entity column.
+  */
+final case class PatternMatch(nodes: DataFrame, edges: DataFrame) {
+
+  private def prefixed(df: DataFrame, v: String): DataFrame =
+    df.select(df.columns.map(c => col(c).as(s"${v}_$c")).toSeq: _*)
+
+  /** NodeScan: all nodes whose label set ⊇ `labels` (empty = all), columns
+    * bound as `v_*`. With label-partitioned node tables this is partition
+    * pruning (the reference's labelNodeMap index, api/MemCypherGraph.scala:43).
+    */
+  def scan(v: String, labels: Set[String] = Set.empty): DataFrame = {
+    val pred = labels.map(l => array_contains(col("labels"), l))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    prefixed(nodes.where(pred), v)
+  }
+
+  /** Expand: from bound `from`, traverse edges (restricted to `relTypes` if
+    * nonempty — the reference's typeRelMap pruning) to a new variable `to`.
+    * The relationship's columns are bound as `relVar_*` when given.
+    */
+  def expand(bound: DataFrame, from: String, to: String,
+      relTypes: Set[String] = Set.empty, relVar: Option[String] = None): DataFrame = {
+    val rv = relVar.getOrElse(s"__r_${from}_$to")
+    val typed = if (relTypes.isEmpty) edges else edges.where(col("rel_type").isin(relTypes.toSeq: _*))
+    val r = prefixed(typed, rv)
+    val joined = bound
+      .join(r, col(s"${from}_id") === col(s"${rv}_src"))
+      .join(scan(to), col(s"${rv}_dst") === col(s"${to}_id"))
+    if (relVar.isDefined) joined
+    else joined.drop(joined.columns.filter(_.startsWith(s"${rv}_")).toSeq: _*)
+  }
+
+  /** Expand into an already-bound variable (cycle closing). */
+  def expandInto(bound: DataFrame, from: String, to: String,
+      relTypes: Set[String] = Set.empty): DataFrame = {
+    val rv = s"__r_${from}_${to}_into"
+    val typed = if (relTypes.isEmpty) edges else edges.where(col("rel_type").isin(relTypes.toSeq: _*))
+    val r = prefixed(typed, rv)
+    bound.join(r,
+      col(s"${from}_id") === col(s"${rv}_src") && col(s"${to}_id") === col(s"${rv}_dst"))
+      .drop(r.columns.toSeq: _*)
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, RollingFingerprint}
+import graft.operators.Salting
+import graft.operators.dedup.Dedup
+import graft.operators.multimodal.Multimodal
+import graft.operators.similarity.SimilaritySearch
+
+/** Training-data ops: dedup recall vs exact Jaccard, ANN recall vs brute
+  * force, fingerprint invariances, salted aggregation correctness.
+  */
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend today"), // near dup of 0
+    (3L, "a completely different document about spark query planning and shuffles"),
+    (4L, "another unrelated text mentioning connected components and minhash"),
+    (5L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG NEAR THE RIVER BANK TODAY"), // case variant of 0
+    (6L, "spark query planning and shuffles are discussed in this different document")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace-normalized duplicates") {
+    val got = Dedup.exact(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
+    assert(got(0L) == 0L && got(1L) == 0L && got(5L) == 0L)
+    assert(got(2L) == 2L && got(3L) == 3L)
+  }
+
+  test("minhash-LSH candidates cover all true high-jaccard pairs") {
+    val truth = Dedup.ngramJaccard(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.contains((0L, 1L))) // sanity: the exact dup pair is high-jaccard
+    val cand = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.subsetOf(cand), s"missed: ${truth.diff(cand)}")
+  }
+
+  test("simhash: identical docs share signatures; near-dups are close") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(1L))
+    val hamming01 = java.lang.Long.bitCount(sigs(0L) ^ sigs(2L))
+    val hammingFar = java.lang.Long.bitCount(sigs(0L) ^ sigs(3L))
+    assert(hamming01 < hammingFar, s"near=$hamming01 far=$hammingFar")
+    val cand = Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cand.contains((0L, 1L)))
+  }
+
+  test("LSH ANN recall >= 0.6 vs brute-force top-3 on sf0.001 embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 10)
+    val brute = SimilaritySearch.bruteTopK(emb, queries, "embedding", "vec_id", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = SimilaritySearch.lshTopK(emb, queries, "embedding", "vec_id", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    info(f"ANN recall vs brute force: $recall%.2f")
+    assert(recall >= 0.6, f"recall $recall%.2f")
+  }
+
+  test("fingerprint: case/whitespace-invariant, content-sensitive, codegen == interpreted") {
+    val fp = RollingFingerprint.fingerprint _
+    assert(fp("Hello  World") == fp("hello world"))
+    assert(fp(" hello world ") == fp("hello world"))
+    assert(fp("hello world") != fp("hello worlds"))
+    assert(fp("ab cd") != fp("cd ab")) // order-sensitive
+    // executor (codegen) path matches the driver-side function
+    val viaSpark = Seq("Hello  World").toDF("t")
+      .select(GraftFunctions.fingerprint(col("t"))).as[Long].head()
+    assert(viaSpark == fp("Hello  World"))
+  }
+
+  test("fnv64 expression matches driver-side Hashing.fnv64") {
+    val viaSpark = Seq("Ada Lovelace").toDF("t")
+      .select(GraftFunctions.fnv64(col("t"))).as[Long].head()
+    assert(viaSpark == graft.util.Hashing.fnv64("Ada Lovelace"))
+  }
+
+  test("salted aggregation = plain groupBy counts, bounded deterministic samples") {
+    val rows = (0 until 1000).map(i => (i % 7L, s"name${i % 7}", s"conv-${i % 50}"))
+      .toDF("id", "name", "conv_id")
+    val salted = Salting.saltedAgg(rows, Seq("id", "name"), Seq("conv_id"), salts = 8, samplePerKey = 5)
+      .select(col("id"), col("n_mentions"), size(col("sample_conv_ids")).as("ns"))
+      .as[(Long, Long, Int)].collect()
+    val plain = rows.groupBy("id").count().as[(Long, Long)].collect().toMap
+    salted.foreach { case (id, n, ns) =>
+      assert(n == plain(id))
+      assert(ns == 5)
+    }
+  }
+
+  test("multimodal: stub decode plumbing produces typed metadata per row") {
+    val withPayload = Multimodal.withSyntheticPayload(docs, "text")
+    val decoded = Multimodal.decodeMeta(withPayload, "payload", "doc_id").collect()
+    assert(decoded.length == docs.count())
+    decoded.foreach { d =>
+      assert(d.meta.n_bytes > 0 && d.meta.width >= 64 && d.meta.height >= 64)
+      assert(d.feature.length == 8)
+    }
+    // determinism: same payload → same meta
+    val m = decoded.map(d => d.doc_id -> d.meta).toMap
+    assert(m(0L) == m(1L))
+  }
+}
