@@ -33,11 +33,15 @@ object TripleExtractor {
     ("""^(.+?) reports to (.+?)$""".r, "REPORTS_TO")
   )
 
+  // precompiled: these run once per turn/sentence on the executor hot path
+  private val sentenceSplit = java.util.regex.Pattern.compile("""(?<=[.!?])\s+""")
+  private val trailingTerm = java.util.regex.Pattern.compile("""[.!?]+$""")
+
   /** Split on sentence-final period/question/exclamation + whitespace, keep
     * deterministic sentence indexes, strip the trailing terminator.
     */
   def sentences(text: String): Seq[String] =
-    text.split("""(?<=[.!?])\s+""").toSeq.map(_.replaceAll("""[.!?]+$""", "").trim)
+    sentenceSplit.split(text).toSeq.map(s => trailingTerm.matcher(s).replaceAll("").trim)
 
   /** Extract all (subj, pred, obj) triples from one turn's text. */
   def extract(text: String): Seq[Extraction] =
@@ -58,11 +62,16 @@ object MentionDetector {
 
   final case class Span(surface: String, norm: String, begin: Int, end: Int)
 
+  // precompiled: norm runs per candidate n-gram on the executor hot path
+  private val wsSplit = java.util.regex.Pattern.compile("""\s+""")
+  private val edgePunct =
+    java.util.regex.Pattern.compile("""^[^\p{L}\p{N}#_]+|[^\p{L}\p{N}#_]+$""")
+
   /** Normalization applied to both gazetteer entries and candidate surfaces:
     * lowercase + strip edge punctuation per token.
     */
   def norm(s: String): String =
-    s.toLowerCase.split("""\s+""").map(_.replaceAll("""^[^\p{L}\p{N}#_]+|[^\p{L}\p{N}#_]+$""", ""))
+    wsSplit.split(s.toLowerCase).map(t => edgePunct.matcher(t).replaceAll(""))
       .filter(_.nonEmpty).mkString(" ")
 
   final class Index(entries: Set[String], val maxGram: Int) extends Serializable {
@@ -77,9 +86,11 @@ object MentionDetector {
 
   private final case class Tok(text: String, begin: Int, end: Int)
 
+  private val nonWs = java.util.regex.Pattern.compile("""\S+""")
+
   private def tokenize(text: String): Array[Tok] = {
     val out = Array.newBuilder[Tok]
-    val m = """\S+""".r.pattern.matcher(text)
+    val m = nonWs.matcher(text)
     while (m.find()) out += Tok(text.substring(m.start, m.end), m.start, m.end)
     out.result()
   }

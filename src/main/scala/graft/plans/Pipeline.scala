@@ -30,7 +30,14 @@ object Pipeline {
       workDir: String,
       gen: TranscriptGen.Config,
       useLsh: Boolean = true,
-      transcriptsPath: Option[String] = None)
+      transcriptsPath: Option[String] = None,
+      /** "all": snapshot every stage (resumable, production default);
+        * "final": persist intermediates in memory/disk cache and snapshot
+        * only nodes/edges — the throughput-bench mode (a real cluster
+        * checkpoints to scalable storage; a single local disk would
+        * otherwise serialize the scaling measurement).
+        */
+      checkpoint: String = "all")
 
   final case class StageRun(stage: String, rows: Long, wallMs: Long, resumed: Boolean)
 
@@ -50,17 +57,28 @@ object Pipeline {
     val dict = EntityLinker.dictionary(spark, TranscriptGen.aliasDict)
     val stages = Seq.newBuilder[StageRun]
 
-    def stage(name: String, partitionBy: Seq[String] = Nil)(compute: => DataFrame): DataFrame = {
+    val snapshotAll = cfg.checkpoint != "final"
+
+    def stage(name: String, partitionBy: Seq[String] = Nil, always: Boolean = false)
+        (compute: => DataFrame): DataFrame = {
       val dir = stageDir(cfg, name)
-      if (TableIO.isComplete(dir)) {
-        val df = TableIO.read(spark, dir)
-        stages += StageRun(name, -1L, 0L, resumed = true)
-        df
+      if (snapshotAll || always) {
+        if (TableIO.isComplete(dir)) {
+          val df = TableIO.read(spark, dir)
+          stages += StageRun(name, -1L, 0L, resumed = true)
+          df
+        } else {
+          val t0 = System.nanoTime()
+          val snap = TableIO.write(compute, dir, name, partitionBy)
+          stages += StageRun(name, snap.rows, (System.nanoTime() - t0) / 1000000, resumed = false)
+          TableIO.read(spark, dir)
+        }
       } else {
         val t0 = System.nanoTime()
-        val snap = TableIO.write(compute, dir, name, partitionBy)
-        stages += StageRun(name, snap.rows, (System.nanoTime() - t0) / 1000000, resumed = false)
-        TableIO.read(spark, dir)
+        val df = compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rows = df.count()
+        stages += StageRun(name, rows, (System.nanoTime() - t0) / 1000000, resumed = false)
+        df
       }
     }
 
@@ -98,8 +116,8 @@ object Pipeline {
     val canonTyped = canonDf.as[graft.model.CanonTriple]
     val types = dict.select(col("canonical_name").as("canon_name"), col("entity_type")).distinct()
     lazy val graph = Materialize.graph(canonTyped, Some(types))
-    stage("nodes") { graph.nodes }
-    stage("edges", partitionBy = Seq("rel_type")) { graph.edges }
+    stage("nodes", always = true) { graph.nodes }
+    stage("edges", partitionBy = Seq("rel_type"), always = true) { graph.edges }
 
     val result = Result(cfg.workDir, stages.result())
     writeMetrics(cfg, result)
