@@ -76,15 +76,21 @@ object Bench {
         rs
       }
 
-    // scaling evidence: identical pipeline job at 8 and 32 cores.
-    // A small warmup run first eats one-time JIT/codegen costs so the
-    // 8-core (first) measured run isn't penalized vs the 32-core one.
-    pipelineRun(32, math.max(nConv / 20, 200))
-    val (turns8, sec8, stages8) = pipelineRun(8, nConv)
-    val (turns32, sec32, stages32) = pipelineRun(32, nConv)
+    // scaling evidence: identical pipeline job at N and 4N cores.
+    // A small warmup run first eats one-time JIT/codegen costs; each config
+    // runs `trials` times and the best wall time counts (the host is shared,
+    // so single runs are contaminated by external load).
+    val loCores = sys.env.getOrElse("GRAFT_BENCH_CORES_LOW", "8").toInt
+    val hiCores = sys.env.getOrElse("GRAFT_BENCH_CORES_HIGH", "32").toInt
+    val trials = sys.env.getOrElse("GRAFT_BENCH_TRIALS", "2").toInt
+    pipelineRun(hiCores, math.max(nConv / 20, 200))
+    val runs8 = (1 to trials).map(_ => pipelineRun(loCores, nConv))
+    val runs32 = (1 to trials).map(_ => pipelineRun(hiCores, nConv))
+    val (turns8, sec8, stages8) = runs8.minBy(_._2)
+    val (turns32, sec32, stages32) = runs32.minBy(_._2)
     val tput8 = turns8 / sec8
     val tput32 = turns32 / sec32
-    val eff = (tput32 / tput8) / 4.0
+    val eff = (tput32 / tput8) / (hiCores.toDouble / loCores)
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -39,11 +39,11 @@ object ConnectedComponents {
     var iter = 0
     var prevSig = signature(e)
     while (!converged && iter < maxIter) {
-      val ls = largeStar(e)
-      val ss = smallStar(ls).persist(StorageLevel.MEMORY_AND_DISK)
-      // localCheckpoint truncates lineage so round N's plan doesn't embed
-      // rounds 0..N-1 (at cluster scale: reliable checkpoint dir instead).
-      val next = ss.localCheckpoint(true)
+      // one materialization per round: localCheckpoint(eager) computes the
+      // large-star∘small-star composition AND truncates lineage so round N's
+      // plan doesn't embed rounds 0..N-1 (at cluster scale: reliable
+      // checkpoint dir instead).
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
       val sig = signature(next)
       converged = sig == prevSig
       prevSig = sig

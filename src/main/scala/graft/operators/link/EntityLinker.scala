@@ -114,9 +114,12 @@ object EntityLinker {
       .join(broadcast(side("o")), Seq("o_norm"), "left_outer")
 
     if (useLsh) {
-      val misses = r.where(col("s_dict_id").isNull).select(col("s_norm").as("norm"))
-        .unionByName(r.where(col("o_dict_id").isNull).select(col("o_norm").as("norm")))
+      // miss set = distinct norms anti-joined against the (broadcast)
+      // dictionary — avoids a second full pass over the joined triple stream
+      val misses = t.select(col("s_norm").as("norm"))
+        .unionByName(t.select(col("o_norm").as("norm")))
         .distinct()
+        .join(broadcast(dict.select(col("alias").as("norm"))), Seq("norm"), "left_anti")
       val lsh = lshLink(misses, dict)
       def lshSide(prefix: String): DataFrame = lsh.select(
         col("norm").as(s"${prefix}_norm"),

@@ -54,7 +54,10 @@ object Pipeline {
   def run(spark: SparkSession, cfg: Config): Result = {
     import spark.implicits._
     GraftFunctions.register(spark)
-    val dict = EntityLinker.dictionary(spark, TranscriptGen.aliasDict)
+    // dictionary is generated distributed + deduped once, then reused by the
+    // broadcast joins of S3/S4/S5
+    val dict = TranscriptGen.aliasDictDs(spark, cfg.gen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stages = Seq.newBuilder[StageRun]
 
     val snapshotAll = cfg.checkpoint != "final"
@@ -95,7 +98,7 @@ object Pipeline {
     val turns = transcripts.as[Turn]
 
     // S1 — gazetteer mentions (map-only).
-    val gazetteer = MentionDetector.buildIndex(TranscriptGen.aliasDict.map(_.alias))
+    val gazetteer = MentionDetector.buildIndex(TranscriptGen.gazetteerSurfaces(cfg.gen))
     val mentionsDf = stage("mentions") { Extract.mentions(turns, gazetteer).toDF() }
 
     // S2 — triple extraction (map-only).

@@ -2,7 +2,8 @@ package graft.sources
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, min => mincol, struct}
 
 import graft.model.{AliasEntry, GoldTriple, Turn}
 import graft.util.Hashing
@@ -12,11 +13,16 @@ import graft.util.Hashing
   * hash — any subset of conversations regenerates identically, so executors
   * generate their partitions independently with zero shuffle and zero driver
   * data movement. This is the scale knob: the same generator drives tiny unit
-  * fixtures and the ~10⁶-turn bench corpus (schema is the 10¹²-turn shape).
+  * fixtures and multi-million-turn bench corpora (schema is the 10¹²-turn
+  * shape).
   *
-  * Every templated sentence carries a known gold triple, so golden labels for
-  * the P/R gate come for free. A configurable fraction of org mentions hits
-  * one hub entity (power-law head) to exercise the salting/AQE-skew paths.
+  * The entity vocabulary also scales with the corpus (`Config.entityCount`,
+  * default nConv/10 capped) — entity i is a pure function of i — so
+  * linking/canonicalization work grows with data instead of being a fixed
+  * constant, mirroring a real KG corpus. Every templated sentence carries a
+  * known gold triple (free golden labels for the P/R gate). A configurable
+  * fraction of org mentions hits one hub entity (power-law head) to exercise
+  * the salting/AQE-skew paths.
   */
 object TranscriptGen {
 
@@ -24,12 +30,20 @@ object TranscriptGen {
       nConv: Long,
       seed: Long = 42L,
       hubFrac: Double = 0.20,
-      aliasNoise: Boolean = true)
+      aliasNoise: Boolean = true,
+      nEntities: Int = 0) {
+    /** Entities scale with corpus unless pinned; floor keeps tiny test
+      * fixtures well-connected, cap keeps the dictionary broadcastable.
+      */
+    def entityCount: Int =
+      if (nEntities > 0) nEntities
+      else math.max(75, math.min((nConv / 10).toInt, 500000))
+  }
 
   final case class Entity(canonical: String, typ: String, aliases: Seq[String])
 
-  // ---- vocabulary (fixed, no periods anywhere — periods would collide with
-  // sentence splitting) ----
+  // ---- name part pools (fixed, no periods anywhere — periods would collide
+  // with sentence splitting) ----
   private val firstNames = Vector("Ada", "Alan", "Grace", "Edsger", "Barbara", "Donald",
     "John", "Leslie", "Robin", "Tony", "Frances", "Niklaus", "Ken", "Dennis", "Bjarne",
     "Guido", "Anders", "Rich", "Martin", "Simon")
@@ -43,38 +57,77 @@ object TranscriptGen {
   private val places = Vector("Paris", "London", "Berlin", "Tokyo", "Sydney", "Oslo",
     "Madrid", "Lisbon", "Vienna", "Prague", "Dublin", "Zurich", "Geneva", "Helsinki",
     "Warsaw", "Athens", "Rome", "Cairo", "Delhi", "Seoul")
-  private val countries = Vector("France", "England", "Germany", "Japan", "Australia",
-    "Norway", "Spain", "Portugal", "Austria", "Czechia", "Ireland", "Switzerland",
-    "Helvetia", "Finland", "Poland", "Greece", "Italy", "Egypt", "India", "Korea")
 
   private def typo(s: String): String = // deterministic edit-distance-1 variant
     if (s.length < 5) s else s.substring(0, s.length / 2) + s.substring(s.length / 2 + 1)
 
-  val persons: Vector[Entity] = (0 until 20).toVector.map { i =>
-    val c = s"${firstNames(i)} ${lastNames(i)}"
-    Entity(c, "Person", Vector(c, c.toLowerCase, s"${firstNames(i).head} ${lastNames(i)}", typo(c)))
-  }
-  val orgs: Vector[Entity] = (0 until 15).toVector.map { i =>
-    val c = s"${orgHeads(i)} ${orgTails(i % orgTails.size)}"
-    Entity(c, "Org", Vector(c, c.toLowerCase, orgHeads(i), typo(c)))
-  }
-  val placeEnts: Vector[Entity] = (0 until 20).toVector.map { i =>
-    Entity(places(i), "Place", Vector(places(i), places(i).toLowerCase, typo(places(i))))
-  }
-  val countryEnts: Vector[Entity] = (0 until 20).toVector.map { i =>
-    Entity(countries(i), "Place", Vector(countries(i), countries(i).toLowerCase))
-  }
-  val all: Vector[Entity] = persons ++ orgs ++ placeEnts ++ countryEnts
-
-  /** Broadcast-sized alias dictionary (FIXTURES.md §2): alias (normalized) →
-    * canonical id/name/type. Canonical id = fnv64(canonical name) — stable,
-    * derivable on any executor, never positional.
+  /** Entity i — pure function of the index. Types interleave person/org/place
+    * (i mod 3); name uniqueness beyond the part-pool product comes from a
+    * numeric suffix on the last token.
     */
-  def aliasDict: Seq[AliasEntry] =
-    all.flatMap { e =>
-      val id = Hashing.fnv64(e.canonical)
-      e.aliases.distinct.map(a => AliasEntry(a.toLowerCase, id, e.canonical, e.typ))
-    }.distinct
+  def entity(i: Int): Entity = (i % 3: @unchecked) match {
+    case 0 =>
+      val k = i / 3
+      val first = firstNames(k % firstNames.size)
+      val last = lastNames((k / firstNames.size) % lastNames.size)
+      val sfx = if (k / (firstNames.size * lastNames.size) > 0)
+        s"-${k / (firstNames.size * lastNames.size)}" else ""
+      val c = s"$first $last$sfx"
+      Entity(c, "Person", Vector(c, c.toLowerCase, s"${first.head} $last$sfx", typo(c)))
+    case 1 =>
+      val k = i / 3
+      val head = orgHeads(k % orgHeads.size)
+      val tail = orgTails((k / orgHeads.size) % orgTails.size)
+      val sfx = if (k / (orgHeads.size * orgTails.size) > 0)
+        s"-${k / (orgHeads.size * orgTails.size)}" else ""
+      val c = s"$head $tail$sfx"
+      Entity(c, "Org", Vector(c, c.toLowerCase, s"$head$sfx", typo(c)))
+    case 2 =>
+      val k = i / 3
+      val base = places(k % places.size)
+      val sfx = if (k / places.size > 0) s"-${k / places.size}" else ""
+      val c = s"$base$sfx"
+      Entity(c, "Place", Vector(c, c.toLowerCase, typo(c)))
+  }
+
+  /** Alias dictionary rows for entity i. Ambiguous aliases (the same surface
+    * from two entities, e.g. shared initials) are resolved downstream by
+    * min-canonical — see [[aliasDictDs]].
+    */
+  private def aliasEntriesFor(i: Int): Seq[AliasEntry] = {
+    val e = entity(i)
+    val id = Hashing.fnv64(e.canonical)
+    e.aliases.distinct.map(a => AliasEntry(a.toLowerCase, id, e.canonical, e.typ))
+  }
+
+  /** Driver-side dictionary (tests / small configs). Deduplicated: one
+    * canonical per alias (min canonical name wins, deterministic).
+    */
+  def aliasDict(cfg: Config): Seq[AliasEntry] =
+    (0 until cfg.entityCount).flatMap(aliasEntriesFor)
+      .groupBy(_.alias).map { case (_, es) => es.minBy(_.canonical_name) }
+      .toSeq.sortBy(_.alias)
+
+  /** Distributed dictionary — generated on executors, deduplicated by a
+    * (vocabulary-sized) groupBy; the scale path when the vocabulary is large.
+    */
+  def aliasDictDs(spark: SparkSession, cfg: Config): DataFrame = {
+    import spark.implicits._
+    val n = spark.sparkContext.defaultParallelism * 2
+    spark.range(0, cfg.entityCount, 1, n)
+      .flatMap(i => aliasEntriesFor(i.toInt))
+      .groupBy(col("alias"))
+      .agg(mincol(struct(col("canonical_name"), col("canonical_id"), col("entity_type"))).as("c"))
+      .select(col("alias"), col("c.canonical_id").as("canonical_id"),
+        col("c.canonical_name").as("canonical_name"), col("c.entity_type").as("entity_type"))
+  }
+
+  /** All alias surfaces (gazetteer input). Driver-side collect is bounded by
+    * entityCount's cap; at true web scale the gazetteer ships as a
+    * file-backed index instead — same MentionDetector API.
+    */
+  def gazetteerSurfaces(cfg: Config): Seq[String] =
+    (0 until cfg.entityCount).flatMap(i => entity(i).aliases)
 
   private val distractors = Vector(
     "please run the query again",
@@ -87,11 +140,10 @@ object TranscriptGen {
 
   private val tools = Vector("search", "code", "browse", "db")
 
-  // template id → (render, pred, subj pool selector, obj pool selector)
   private final case class Template(
       pred: String,
       render: (String, String, Int) => String,
-      subjPool: Int, // 0 person, 1 org, 2 place, 3 country, 4 any
+      subjPool: Int, // 0 person, 1 org, 2 place, 3 any
       objPool: Int)
 
   private val templates: Vector[Template] = Vector(
@@ -100,20 +152,22 @@ object TranscriptGen {
     Template("LIVES_IN", (s, o, _) => s"$s lives in $o", 0, 2),
     Template("LOCATED_IN", (s, o, _) => s"$s is located in $o", 1, 2),
     Template("BASED_IN", (s, o, _) => s"$s is based in $o", 1, 2),
-    Template("ASKED_ABOUT", (s, o, _) => s"I asked $s about $o", 0, 4),
+    Template("ASKED_ABOUT", (s, o, _) => s"I asked $s about $o", 0, 3),
     Template("MOVED_TO", (s, o, _) => s"$s moved to $o", 0, 2),
     Template("ACQUIRED", (s, o, _) => s"$s acquired $o", 1, 1),
-    Template("CAPITAL_OF", (s, o, _) => s"$s is the capital of $o", 2, 3),
+    Template("CAPITAL_OF", (s, o, _) => s"$s is the capital of $o", 2, 2),
     Template("REPORTS_TO", (s, o, _) => s"$s reports to $o", 0, 0))
 
-  private def pickEntity(pool: Int, cfg: Config, ks: Any*): Entity = pool match {
-    case 0 => persons(Hashing.draw(persons.size, cfg.seed, "p", ks))
-    case 1 => // hub skew lives here: a hubFrac slice of org picks collapses to orgs(0)
-      if (Hashing.unit(cfg.seed, "hub", ks) < cfg.hubFrac) orgs(0)
-      else orgs(Hashing.draw(orgs.size, cfg.seed, "o", ks))
-    case 2 => placeEnts(Hashing.draw(placeEnts.size, cfg.seed, "l", ks))
-    case 3 => countryEnts(Hashing.draw(countryEnts.size, cfg.seed, "c", ks))
-    case _ => all(Hashing.draw(all.size, cfg.seed, "a", ks))
+  private def pickEntity(pool: Int, cfg: Config, ks: Any*): Entity = {
+    val nPer = math.max(cfg.entityCount / 3, 1)
+    pool match {
+      case 0 => entity(3 * Hashing.draw(nPer, cfg.seed, "p", ks))
+      case 1 => // hub skew lives here: a hubFrac slice of org picks collapses to one org
+        if (Hashing.unit(cfg.seed, "hub", ks) < cfg.hubFrac) entity(1)
+        else entity(3 * Hashing.draw(nPer, cfg.seed, "o", ks) + 1)
+      case 2 => entity(3 * Hashing.draw(nPer, cfg.seed, "l", ks) + 2)
+      case _ => entity(Hashing.draw(cfg.entityCount, cfg.seed, "a", ks))
+    }
   }
 
   private def surfaceOf(e: Entity, cfg: Config, ks: Any*): String =
