@@ -164,6 +164,12 @@ object SparkEntry {
     "q15_cross" -> ((s, dir) =>
       t(s, dir, "region").select(col("r_name").as("a_name"))
         .crossJoin(t(s, dir, "region").select(col("r_name").as("b_name")))),
+    "q16_join_right" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"), "right_outer")
+        .groupBy(col("n_name"))
+        .agg(count(col("c_custkey")).as("n_cust"),
+          coalesce(max(col("c_acctbal")), lit(-1.0)).as("max_bal"))),
 
     // ---- training-data ops: dedup ----
     "dd_exact" -> ((s, dir) =>
@@ -304,6 +310,9 @@ object SparkEntry {
         "FROM events GROUP BY 1, 2"),
     "q15_cross" ->
       "SELECT a.r_name AS a_name, b.r_name AS b_name FROM region a CROSS JOIN region b",
+    "q16_join_right" ->
+      ("SELECT n_name, COUNT(c_custkey) AS n_cust, COALESCE(MAX(c_acctbal), -1.0) AS max_bal " +
+        "FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
 
     "dd_exact" ->
       ("WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents) " +
