@@ -58,7 +58,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nConv = sys.env.getOrElse("GRAFT_BENCH_CONV", "40000").toLong
+    val nConv = sys.env.getOrElse("GRAFT_BENCH_CONV", "100000").toLong
 
     val skipQueries = sys.env.contains("GRAFT_BENCH_SKIP_QUERIES")
     val results =

@@ -68,8 +68,14 @@ object TableIO {
     var w = df.write.mode("overwrite")
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     w.parquet(dd.toString)
-    val files = listParquet(dd).map { p =>
-      FileEntry(dd.relativize(p).toString, Files.size(p), parquetRows(p))
+    // footer harvesting is metadata-only but per-file; parallelize on the
+    // driver (hundreds of files × ~20ms each would otherwise serialize)
+    val files = {
+      val paths = new java.util.ArrayList[Path](listParquet(dd).asJava)
+      paths.parallelStream()
+        .map[FileEntry](p => FileEntry(dd.relativize(p).toString, Files.size(p), parquetRows(p)))
+        .collect(java.util.stream.Collectors.toList[FileEntry])
+        .asScala.toSeq.sortBy(_.path)
     }
     val snap = Snapshot(id, parent, stage, files.map(_.rows).sum, files,
       System.currentTimeMillis())
