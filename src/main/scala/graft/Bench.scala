@@ -16,14 +16,7 @@ import graft.sources.TranscriptGen
 object Bench {
 
   private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = graft.util.Sessions.local(cores, appName = s"graft-bench-$cores")
     s.sparkContext.setLogLevel("ERROR")
     s
   }
@@ -56,6 +49,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the one JSON output line is built with f"" (String.format) — pin the
+    // locale so decimal points never render as commas
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nConv = sys.env.getOrElse("GRAFT_BENCH_CONV", "100000").toLong

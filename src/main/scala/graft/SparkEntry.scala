@@ -79,8 +79,10 @@ object SparkEntry {
       val edges = vars.select(GraftFunctions.fnv64(col("name")).as("src"),
         GraftFunctions.fnv64(col("member")).as("dst"))
         .where(col("src") =!= col("dst"))
-      val comps = ConnectedComponents.run(edges)
       val idName = vars.select(GraftFunctions.fnv64(col("member")).as("id"), col("member")).distinct()
+      // runWithVertices keeps variant-free members (name == lower == upper)
+      // as their own singleton components — matches the oracle's DISTINCT
+      val comps = ConnectedComponents.runWithVertices(idName.select("id"), edges)
       val canon = comps.join(idName, "id")
         .groupBy("component").agg(min("member").as("canon"))
       comps.join(idName, "id").join(canon, "component")
@@ -207,6 +209,12 @@ object SparkEntry {
       GraftFunctions.register(s)
       TextAnalysis.fingerprints(t(s, dir, "documents"), "text", "doc_id")
     }),
+    "ta_top_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("token"))
+        .limit(10)),
 
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, dir) =>
@@ -368,6 +376,9 @@ object SparkEntry {
         "CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_re_tokens " +
         "FROM documents"),
 
+    "ta_top_tokens" ->
+      ("SELECT token, COUNT(*) AS n FROM (SELECT unnest(string_split(text, ' ')) AS token " +
+        "FROM documents) GROUP BY token ORDER BY n DESC, token ASC LIMIT 10"),
     "mm_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "lower(hex(encode(substr(text, 1, 4)))) AS magic_hex FROM documents")

@@ -30,9 +30,10 @@ object Materialize {
     val c = canon.toDF()
 
     // Edge id: pure function of provenance + endpoints — stable under
-    // re-runs, repartitioning and resume (no positional id generation).
+    // re-runs, repartitioning and resume (no positional id generation);
+    // ":"-separated so adjacent numeric fields cannot concatenate ambiguously.
     val edges = c.select(
-      GraftFunctions.fnv64(concat_ws("",
+      GraftFunctions.fnv64(concat_ws(":",
         col("conv_id"), col("turn_idx"), col("sent_idx"), col("pred"),
         col("subj_id"), col("obj_id"))).as("id"),
       col("subj_id").as("src"),

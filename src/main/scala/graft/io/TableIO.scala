@@ -50,6 +50,18 @@ object TableIO {
       Files.exists(metaDir(tableDir).resolve(s"v$id.json"))
   }
 
+  /** row_count of the CURRENT snapshot, read from its manifest (the manifest
+    * JSON is written by this object, so a targeted scan is safe).
+    */
+  def currentRowCount(tableDir: String): Option[Long] = currentId(tableDir).flatMap { id =>
+    val m = metaDir(tableDir).resolve(s"v$id.json")
+    if (!Files.exists(m)) None
+    else {
+      val s = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+      """"row_count":(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+    }
+  }
+
   def read(spark: SparkSession, tableDir: String): DataFrame = {
     val id = currentId(tableDir).getOrElse(
       throw new IllegalStateException(s"no CURRENT snapshot in $tableDir"))

@@ -49,6 +49,9 @@ object Dedup {
 
   /** MinHash-LSH near-dup candidate pairs, verified by true shingle Jaccard.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    * The banding join and the pair-dedup carry only (bucket, id) — narrow
+    * rows; full shingle sets are joined back exactly once per surviving
+    * candidate pair for verification.
     */
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, bandSize: Int = 4, threshold: Double = 0.6): DataFrame = {
@@ -56,16 +59,18 @@ object Dedup {
     val sigd = docs.select(col(idCol).as("id"),
       tokenShingles(col(textCol), 3).as("sh"),
       minhashSig(col(textCol), numHashes).as("sig"))
-    val banded = sigd.select(col("id"), col("sh"),
+    val banded = sigd.select(col("id"),
       explode(transform(sequence(lit(0), lit(numBands - 1)),
         b => xxhash64((0 until bandSize).map(i =>
           element_at(col("sig"), b * bandSize + i + 1)) :+ b: _*))).as("bucket"))
-    val a = banded.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("bucket"))
+    val pairs = banded.select(col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct() // same pair can collide in several bands
+    pairs
+      .join(sigd.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sigd.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -140,22 +145,13 @@ object Dedup {
     */
   def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
-    val e = emb.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+    import graft.functions.VectorOps
+    val e = emb.select(col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("v"))
     val a = e.select(col("id").as("id_a"), col("v").as("va"))
     val b = e.select(col("id").as("id_b"), col("v").as("vb"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cos", VectorOps.cosine(col("va"), col("vb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos") * 1000).cast("long").as("cos_pm"))
   }
-}
-
-/** Cosine helpers shared by dedup + similarity search. */
-object Similarity {
-  import org.apache.spark.sql.functions._
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-  def norm(a: Column): Column = sqrt(dot(a, a))
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 }

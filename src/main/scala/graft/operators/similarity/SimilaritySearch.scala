@@ -19,13 +19,7 @@ import graft.util.Hashing
   *    losses. The scale path: candidate volume ∝ corpus/2^r per query.
   */
 object SimilaritySearch {
-
-  def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-  def cosine(a: Column, b: Column): Column =
-    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
-
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  import graft.functions.VectorOps.{asDouble, cosine, dot => dotD}
 
   /** Exact top-k neighbors for each query row. Queries must be small enough
     * to broadcast (typical: a probe batch). Returns

@@ -68,7 +68,9 @@ object Pipeline {
       if (snapshotAll || always) {
         if (TableIO.isComplete(dir)) {
           val df = TableIO.read(spark, dir)
-          stages += StageRun(name, -1L, 0L, resumed = true)
+          // row count comes from the committed manifest — resumed runs keep
+          // real counts in metrics instead of clobbering them with -1
+          stages += StageRun(name, TableIO.currentRowCount(dir).getOrElse(-1L), 0L, resumed = true)
           df
         } else {
           val t0 = System.nanoTime()

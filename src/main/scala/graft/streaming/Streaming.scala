@@ -7,9 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming operators over the events stream shape
-  * (event_id, ts, user_id, event_type, value, props). The same code paths
-  * run in batch mode (flatMapGroupsWithState executes per-group over a batch
-  * Dataset), which is how the deterministic tests drive them.
+  * (event_id, ts, user_id, event_type, value, props).
   */
 object Streaming {
 
@@ -19,44 +17,68 @@ object Streaming {
   final case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, total_value: Double)
 
-  final case class SessionState(events: List[(Long, Double)])
+  /** Open-session state carried across micro-batches: constant-size
+    * aggregates, never the raw events.
+    */
+  final case class OpenSession(startMs: Long, lastMs: Long, n: Long, total: Double)
 
-  /** Gap-based sessionization with custom state
-    * (KeyValueGroupedDataset.flatMapGroupsWithState). In streaming mode the
-    * state times out on the processing clock; in batch mode each group is
-    * processed once with all its events — identical session splits either way
-    * (the split is a pure function of sorted event times).
+  private def close(uid: Long, o: OpenSession): Session =
+    Session(uid, new Timestamp(o.startMs), new Timestamp(o.lastMs), o.n, o.total)
+
+  private def fold(uid: Long, sorted: Seq[Event], prior: Option[OpenSession],
+      gapSec: Long): (Vector[Session], Option[OpenSession]) = {
+    val out = Vector.newBuilder[Session]
+    var open = prior
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      open = open match {
+        case Some(o) if t - o.lastMs > gapSec * 1000L =>
+          out += close(uid, o)
+          Some(OpenSession(t, t, 1L, e.value))
+        case Some(o) =>
+          Some(o.copy(lastMs = math.max(o.lastMs, t), n = o.n + 1, total = o.total + e.value))
+        case None =>
+          Some(OpenSession(t, t, 1L, e.value))
+      }
+    }
+    (out.result(), open)
+  }
+
+  /** Batch sessionization: every session (including the final one per user)
+    * is emitted — a plain per-group fold, no state machinery.
     */
   def sessionize(events: Dataset[Event], gapSec: Long): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-
-    def split(userId: Long, evs: Iterator[Event]): Iterator[Session] = {
+    events.groupByKey(_.user_id).flatMapGroups { (uid, evs) =>
       val sorted = evs.toVector.sortBy(e => (e.ts.getTime, e.event_id))
-      if (sorted.isEmpty) Iterator.empty
-      else {
-        val out = Vector.newBuilder[Session]
-        var start = sorted.head.ts
-        var last = sorted.head.ts
-        var n = 0L
-        var total = 0.0
-        sorted.foreach { e =>
-          if (e.ts.getTime - last.getTime > gapSec * 1000L) {
-            out += Session(userId, start, last, n, total)
-            start = e.ts; n = 0L; total = 0.0
-          }
-          last = e.ts; n += 1; total += e.value
-        }
-        out += Session(userId, start, last, n, total)
-        out.result().iterator
-      }
+      val (closed, open) = fold(uid, sorted, None, gapSec)
+      (closed ++ open.map(close(uid, _))).iterator
     }
+  }
 
+  /** Streaming sessionization with custom state
+    * (flatMapGroupsWithState, Append): a session is emitted exactly once —
+    * when a later event proves it closed (gap exceeded), possibly batches
+    * later. The open tail lives in constant-size checkpointed state, so the
+    * stream resumes sessions across restarts. Assumes per-user event-time
+    * arrives in order across batches (late data would need a
+    * watermark/EventTimeTimeout upgrade).
+    */
+  def sessionizeStream(events: Dataset[Event], gapSec: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[OpenSession, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (userId: Long, evs: Iterator[Event], _: GroupState[SessionState]) =>
-          split(userId, evs)
+        (uid: Long, evs: Iterator[Event], state: GroupState[OpenSession]) =>
+          val sorted = evs.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+          val (closed, open) = fold(uid, sorted, state.getOption, gapSec)
+          open match {
+            case Some(o) => state.update(o)
+            case None => if (state.exists) state.remove()
+          }
+          closed.iterator
       }
   }
 

@@ -12,12 +12,7 @@ object CcBench {
   def main(args: Array[String]): Unit = {
     val cores = if (args.nonEmpty) args(0).toInt else 8
     val n = if (args.length > 1) args(1).toLong else 100000L
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.util.Sessions.local(cores, appName = "graft-ccbench")
     spark.sparkContext.setLogLevel("ERROR")
 
     def time(label: String)(f: => Long): Unit = {

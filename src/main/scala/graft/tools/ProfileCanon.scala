@@ -13,12 +13,7 @@ object ProfileCanon {
   def main(args: Array[String]): Unit = {
     val cores = if (args.nonEmpty) args(0).toInt else 8
     val nConv = if (args.length > 1) args(1).toLong else 30000L
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.util.Sessions.local(cores, appName = "graft-profile")
     spark.sparkContext.setLogLevel("ERROR")
 
     def time[T](label: String)(f: => T): T = {

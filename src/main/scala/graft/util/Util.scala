@@ -27,7 +27,7 @@ object Hashing {
   /** Splittable hash stream: mix a seed with positional fields so any subset
     * of conversations/turns regenerates identically (FIXTURES.md §1).
     */
-  def mix(parts: Any*): Long = fnv64(parts.mkString(""))
+  def mix(parts: Any*): Long = fnv64(parts.mkString("\u0001"))
 
   /** Non-negative bounded draw from a mix. */
   def draw(bound: Int, parts: Any*): Int = {

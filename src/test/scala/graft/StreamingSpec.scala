@@ -25,6 +25,36 @@ class StreamingSpec extends SparkTestBase {
     assert(sessions == Set((1L, 0L, 2L, 3.0), (1L, 5000L, 1L, 3.0), (2L, 50L, 1L, 5.0)))
   }
 
+  test("streaming sessionization carries open sessions across micro-batches via state") {
+    val dir = tmpDir("graft-sess")
+    val ckpt = s"$dir/ckpt"
+    def runBatch(events: Seq[Event], batchDir: String): Unit = {
+      events.toDS().write.parquet(batchDir)
+      val stream = spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+        .parquet(s"$dir/in/*")
+      val q = Streaming.sessionizeStream(stream.as[Event], gapSec = 600)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def emitted() = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streaming.Session]].schema)
+      .parquet(s"$dir/out")
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    // batch 1: two events 100s apart (one open session) — nothing closed yet
+    runBatch(Seq(Event(1, ts(0), 1L, "click", 1.0), Event(2, ts(100), 1L, "click", 2.0)),
+      s"$dir/in/b1")
+    assert(emitted().isEmpty, "open session must not be emitted")
+    // batch 2: an event past the gap closes the first session
+    runBatch(Seq(Event(3, ts(5000), 1L, "buy", 3.0)), s"$dir/in/b2")
+    val sessions = emitted()
+    assert(sessions == Set((1L, ts(0), ts(100), 2L, 3.0)),
+      s"closed session must merge events across the batch boundary: $sessions")
+  }
+
   test("streaming windowed aggregation over a file source (memory sink)") {
     val dir = tmpDir("graft-stream")
     val events = Seq(
