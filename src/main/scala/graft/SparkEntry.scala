@@ -76,9 +76,14 @@ object SparkEntry {
       val vars = ents.select(col("name"),
         explode(array(col("name"), lower(col("name")), upper(col("name")))).as("member"))
         .distinct()
-      val edges = vars.select(GraftFunctions.fnv64(col("name")).as("src"),
-        GraftFunctions.fnv64(col("member")).as("dst"))
-        .where(col("src") =!= col("dst"))
+      // chain (not star) edges: name↔lower and lower↔upper — forces the
+      // large-star/small-star alternation to do real multi-round work while
+      // keeping the oracle's components identical
+      val e1 = ents.select(GraftFunctions.fnv64(col("name")).as("src"),
+        GraftFunctions.fnv64(lower(col("name"))).as("dst"))
+      val e2 = ents.select(GraftFunctions.fnv64(lower(col("name"))).as("src"),
+        GraftFunctions.fnv64(upper(col("name"))).as("dst"))
+      val edges = e1.unionByName(e2).where(col("src") =!= col("dst"))
       val idName = vars.select(GraftFunctions.fnv64(col("member")).as("id"), col("member")).distinct()
       // runWithVertices keeps variant-free members (name == lower == upper)
       // as their own singleton components — matches the oracle's DISTINCT
@@ -130,7 +135,7 @@ object SparkEntry {
         .groupBy(col("n_name")).agg(count(col("c_custkey")).as("n_cust"))),
     "q09_join_anti" -> ((s, dir) =>
       t(s, dir, "customer")
-        .join(t(s, dir, "orders").where(col("o_totalprice") > 150000),
+        .join(t(s, dir, "orders").where(col("o_totalprice") > 450000),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))),
     "q10_union" -> ((s, dir) =>
@@ -300,7 +305,7 @@ object SparkEntry {
         "LEFT JOIN customer ON n_nationkey = c_nationkey GROUP BY n_name"),
     "q09_join_anti" ->
       ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
-        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000)"),
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)"),
     "q10_union" ->
       ("SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name, 'nation' AS src FROM nation " +
         "UNION ALL SELECT CAST(r_regionkey AS BIGINT), r_name, 'region' FROM region"),
