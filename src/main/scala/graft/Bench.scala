@@ -23,9 +23,12 @@ object Bench {
 
   private def rmrf(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+    if (Files.exists(p)) {
+      val stream = Files.walk(p) // close to release directory handles
+      try stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => Files.delete(f))
+      finally stream.close()
+    }
   }
 
   /** One full pipeline run at the given parallelism; returns

@@ -386,6 +386,7 @@ object SparkEntry {
         "FROM documents) GROUP BY token ORDER BY n DESC, token ASC LIMIT 10"),
     "mm_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
-        "lower(hex(encode(substr(text, 1, 4)))) AS magic_hex FROM documents")
+        // first 4 BYTES (not chars): hex the whole blob, take 8 hex digits
+        "lower(substr(hex(encode(text)), 1, 8)) AS magic_hex FROM documents")
   )
 }

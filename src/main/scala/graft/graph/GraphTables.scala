@@ -42,13 +42,15 @@ object Materialize {
       col("conv_id"), col("turn_idx"))
 
     // Node mention counts: the hub entity makes this a skewed groupBy key.
-    // count() is partial-aggregable (map-side combine flattens the skew), but
-    // we go through the salted two-phase helper so collect-style payloads
-    // (per-node provenance samples) ride the same safe path.
+    // Grouped by id ONLY (ids are unique node keys); the display name rides
+    // along as min(name) so two raw surfaces sharing a norm-derived id (e.g.
+    // case variants of an unresolved surface) collapse into one node row.
+    // Bounded provenance samples go through the salted window path.
     val sides = c.select(col("subj_id").as("id"), col("subj_name").as("name"), col("conv_id"))
       .unionByName(c.select(col("obj_id").as("id"), col("obj_name").as("name"), col("conv_id")))
     val counted = Salting.saltedAgg(
-      sides, Seq("id", "name"), Seq("conv_id"), salts = 16, samplePerKey = 8)
+      sides, Seq("id"), Seq("conv_id"), salts = 16, samplePerKey = 8,
+      minCols = Seq("name"))
 
     val labeled = entityTypes match {
       case Some(types) =>
@@ -60,10 +62,14 @@ object Materialize {
       case None => counted.withColumn("label", lit("Entity"))
     }
 
+    // .as[NodeRow]/.as[EdgeRow] enforce that the table schemas stay in sync
+    // with the typed models (case class = schema contract)
+    import spark.implicits._
     val nodes = labeled.select(
       col("id"), col("name"), array(col("label")).as("labels"),
-      col("n_mentions"), col("sample_conv_ids"))
-
-    GraphTables(nodes, edges)
+      col("n_mentions"), coalesce(col("sample_conv_ids"),
+        array().cast("array<string>")).as("sample_conv_ids"))
+      .as[graft.model.NodeRow].toDF()
+    GraphTables(nodes, edges.as[graft.model.EdgeRow].toDF())
   }
 }

@@ -101,10 +101,13 @@ object TableIO {
   def manifests(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.json(metaDir(tableDir).resolve("v*.json").toString)
 
-  private def listParquet(dir: Path): Seq[Path] =
-    Files.walk(dir).iterator().asScala
+  private def listParquet(dir: Path): Seq[Path] = {
+    val stream = Files.walk(dir) // must be closed: it holds directory handles
+    try stream.iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .toSeq.sortBy(_.toString)
+    finally stream.close()
+  }
 
   /** Row count from the Parquet footer (no data read). */
   def parquetRows(p: Path): Long = {

@@ -80,7 +80,8 @@ final case class NodeRow(
     id: Long,
     name: String,
     labels: Seq[String],
-    n_mentions: Long)
+    n_mentions: Long,
+    sample_conv_ids: Seq[String])
 
 /** Edge table row (reference: api/MemCypherGraph.scala:129-140). One rel_type
   * per edge; provenance columns carry (conv_id, turn_idx).

@@ -56,9 +56,14 @@ object Dedup {
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, bandSize: Int = 4, threshold: Double = 0.6): DataFrame = {
     val numBands = numHashes / bandSize
+    // docs too short to shingle are excluded: their all-null signatures would
+    // otherwise collapse every short doc into one bucket per band (O(n²)
+    // candidates) and they can never pass shingle-Jaccard anyway — the exact
+    // path handles identical short docs.
     val sigd = docs.select(col(idCol).as("id"),
       tokenShingles(col(textCol), 3).as("sh"),
       minhashSig(col(textCol), numHashes).as("sig"))
+      .where(size(col("sh")) > 0)
     val banded = sigd.select(col("id"),
       explode(transform(sequence(lit(0), lit(numBands - 1)),
         b => xxhash64((0 until bandSize).map(i =>

@@ -35,9 +35,9 @@ object TranscriptGen {
     /** Entities scale with corpus unless pinned; floor keeps tiny test
       * fixtures well-connected, cap keeps the dictionary broadcastable.
       */
-    def entityCount: Int =
+    def entityCount: Int = // clamp on Long BEFORE narrowing (nConv can exceed Int range)
       if (nEntities > 0) nEntities
-      else math.max(75, math.min((nConv / 10).toInt, 500000))
+      else math.max(75L, math.min(nConv / 10, 500000L)).toInt
   }
 
   final case class Entity(canonical: String, typ: String, aliases: Seq[String])
