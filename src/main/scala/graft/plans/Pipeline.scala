@@ -51,9 +51,30 @@ object Pipeline {
     * committed snapshot — not from the in-memory plan — which is what makes
     * resume exact and keeps per-stage plans short.
     */
+  /** Fail-fast guard: a workDir belongs to exactly one config. Resuming with
+    * different generator/linking settings would silently serve the old run's
+    * tables as if they were the new config's output.
+    */
+  private def checkConfigFingerprint(cfg: Config): Unit = {
+    val fp = Seq(cfg.gen.nConv, cfg.gen.seed, cfg.gen.hubFrac, cfg.gen.aliasNoise,
+      cfg.gen.nEntities, cfg.useLsh, cfg.transcriptsPath.getOrElse("")).mkString("|")
+    val p = java.nio.file.Paths.get(cfg.workDir, "config.fingerprint")
+    if (java.nio.file.Files.exists(p)) {
+      val prev = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (prev != fp) throw new IllegalStateException(
+        s"workDir ${cfg.workDir} was created by a different pipeline config " +
+          s"(existing: $prev, requested: $fp); use a fresh workDir or delete this one")
+    } else {
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
   def run(spark: SparkSession, cfg: Config): Result = {
     import spark.implicits._
     GraftFunctions.register(spark)
+    checkConfigFingerprint(cfg)
     // dictionary is generated distributed + deduped once, then reused by the
     // broadcast joins of S3/S4/S5
     val dict = TranscriptGen.aliasDictDs(spark, cfg.gen)

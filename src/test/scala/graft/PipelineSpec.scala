@@ -67,6 +67,15 @@ class PipelineSpec extends SparkTestBase {
     rm(dir)
   }
 
+  test("resume with a different config fails fast instead of serving stale tables") {
+    val dir = tmpDir("graft-cfgfp")
+    Pipeline.run(spark, cfg(dir, nConv = 4))
+    val other = Pipeline.Config(dir, TranscriptGen.Config(nConv = 8))
+    val e = intercept[IllegalStateException](Pipeline.run(spark, other))
+    assert(e.getMessage.contains("different pipeline config"))
+    rm(dir)
+  }
+
   test("snapshot manifests carry per-file lineage rows") {
     val dir = tmpDir("graft-manifest")
     Pipeline.run(spark, cfg(dir, nConv = 4))
