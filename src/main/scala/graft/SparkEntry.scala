@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.graph.Materialize
+import graft.graph.{GraphTables, Materialize, PatternMatch}
 import graft.model.RawTriple
 import graft.operators.canon.{Canonicalize, ConnectedComponents}
 import graft.operators.dedup.Dedup
@@ -42,12 +42,34 @@ object SparkEntry {
       Extract.triples(TpchKg.turns(s, dir)), TpchKg.dict(s, dir), useLsh = false)
   }
 
-  private def kgGraph(s: SparkSession, dir: String) = {
-    val linked = kgLinked(s, dir)
-    val canon = Canonicalize(linked, TpchKg.dict(s, dir))
-    val types = TpchKg.dict(s, dir)
-      .select(col("canonical_name").as("canon_name"), col("entity_type")).distinct()
-    Materialize.graph(canon, Some(types))
+  /** Materialized graph, memoized per (session, sf dir) with canon and the
+    * node/edge tables persisted: the driver runs kg_nodes / kg_edges /
+    * kg_match_* as separate queries, and within kg_edges the node table is
+    * joined twice — without the cache the whole extract→link→CC pipeline
+    * would recompute per reference (it did in round 1: 162 s for kg_edges at
+    * sf0.1). This mirrors serving from Pipeline stage snapshots.
+    */
+  private val graphCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), GraphTables]
+
+  private def kgGraph(s: SparkSession, dir: String): GraphTables =
+    graphCache.computeIfAbsent((s, dir), { _ =>
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val linked = kgLinked(s, dir)
+      val canon = Canonicalize(linked, TpchKg.dict(s, dir)).persist(MEMORY_AND_DISK)
+      val types = TpchKg.dict(s, dir)
+        .select(col("canonical_name").as("canon_name"), col("entity_type")).distinct()
+      val g = Materialize.graph(canon, Some(types))
+      GraphTables(g.nodes.persist(MEMORY_AND_DISK), g.edges.persist(MEMORY_AND_DISK))
+    })
+
+  /** Pattern-match view of the materialized KG: nodes + name-level-distinct
+    * edges (one edge per (src, dst, rel_type) — provenance multiplicity
+    * collapsed, the graph-semantics view the reference's MATCH operates on).
+    */
+  private def kgPattern(s: SparkSession, dir: String): PatternMatch = {
+    val g = kgGraph(s, dir)
+    PatternMatch(g.nodes, g.edges.select(col("src"), col("dst"), col("rel_type")).distinct())
   }
 
   private def kgEdges(s: SparkSession, dir: String): DataFrame = {
@@ -97,6 +119,36 @@ object SparkEntry {
       kgGraph(s, dir).nodes
         .select(col("name"), element_at(col("labels"), 1).as("label"), col("n_mentions"))),
     "kg_edges" -> ((s, dir) => kgEdges(s, dir)),
+
+    // ---- pattern matching over the materialized KG (SURVEY.md §2.1
+    // NodeScan/RelScan/Expand — the reference's MATCH acceptance shape,
+    // reference: matching/MatchAcceptanceTest.scala:19-26) ----
+    // MATCH (n:Customer)-[:LIVES_IN]->(a)-[:LOCATED_IN]->(b)
+    // RETURN DISTINCT n.name, a.name, b.name — label-pruned scan + two
+    // type-pruned expands (each expand a join Catalyst plans).
+    "kg_match_2hop" -> ((s, dir) => {
+      val pm = kgPattern(s, dir)
+      val n = pm.scan("n", Set("Customer"))
+      val hop1 = pm.expand(n, "n", "a", Set("LIVES_IN"))
+      val hop2 = pm.expand(hop1, "a", "b", Set("LOCATED_IN"))
+      hop2.select(col("n_name"), col("a_name"), col("b_name")).distinct()
+    }),
+    // Triangle: ...-[:LIVES_IN]->(a)-[:LOCATED_IN]->(b) AND (n)-[:BASED_IN]->(b)
+    // — ExpandInto (cycle closing, reference ExpandInto semantics).
+    "kg_match_triangle" -> ((s, dir) => {
+      val pm = kgPattern(s, dir)
+      val n = pm.scan("n", Set("Customer"))
+      val hop1 = pm.expand(n, "n", "a", Set("LIVES_IN"))
+      val hop2 = pm.expand(hop1, "a", "b", Set("LOCATED_IN"))
+      val closed = pm.expandInto(hop2, "n", "b", Set("BASED_IN"))
+      closed.select(col("n_name"), col("a_name"), col("b_name")).distinct()
+    }),
+    // Demo shape (reference apps/Demo.scala:31-42): label scan + project +
+    // ORDER BY over node properties.
+    "kg_match_demo" -> ((s, dir) =>
+      kgPattern(s, dir).scan("n", Set("Nation"))
+        .select(col("n_name").as("name"), col("n_n_mentions").as("n_mentions"))
+        .orderBy(asc("name"))),
 
     // ---- relational operator coverage (SURVEY.md §2.1/2.2) ----
     "q01_scan_filter" -> ((s, dir) =>
@@ -177,6 +229,29 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(count(col("c_custkey")).as("n_cust"),
           coalesce(max(col("c_acctbal")), lit(-1.0)).as("max_bal"))),
+    // Start (leaf): the unit table — one empty row — with projected literals
+    // (reference LeafOperator.scala:23-32 / MemCypherRecords.scala:68).
+    "q17_unit_start" -> ((s, _) =>
+      s.range(1).select(lit("graft").as("engine"), lit(1L).as("one"))),
+    // Alias → RemoveAliases round-trip: project under alias names, then map
+    // them back (reference RemoveAliases, a header-only rename).
+    "q18_remove_aliases" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .select(col("n_nationkey").as("key_alias"), col("n_name").as("name_alias"))
+        .withColumnsRenamed(Map("key_alias" -> "n_nationkey", "name_alias" -> "n_name"))),
+
+    // ---- edge-list source (the reference's only file connector +
+    // its benchmark query MATCH (n)-->(m), apps/Benchmark.scala:27,64-91):
+    // write a TSV derived from orders, read it back through EdgeListSource,
+    // count out-degrees ----
+    "el_bench" -> ((s, dir) => {
+      val tsv = s"${System.getProperty("java.io.tmpdir")}/graft-el-${math.abs(dir.hashCode)}"
+      t(s, dir, "orders")
+        .select(col("o_custkey").cast("long"), col("o_orderkey").cast("long"))
+        .write.mode("overwrite").option("sep", "\t").csv(tsv)
+      val g = graft.sources.EdgeListSource.read(s, tsv, label = "Holder", relType = "PLACED")
+      g.edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    }),
 
     // ---- training-data ops: dedup ----
     "dd_exact" -> ((s, dir) =>
@@ -190,8 +265,11 @@ object SparkEntry {
     "dd_simhash" -> ((s, dir) =>
       Dedup.simhashCandidates(t(s, dir, "documents").where(col("doc_id") < 300),
         "text", "doc_id", maxHamming = 6)),
+    // banded hyperplane-LSH self-join over the FULL embeddings table (no id
+    // cap): candidates from shared (table, signature) buckets, exact-cosine
+    // verified; recall vs brute is gated in OpsSpec
     "dd_embed_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDup(t(s, dir, "embeddings").where(col("vec_id") < 300),
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"),
         "embedding", "vec_id", threshold = 0.35)),
 
     // ---- similarity search ----
@@ -225,9 +303,13 @@ object SparkEntry {
     "mm_meta" -> ((s, dir) =>
       Multimodal.nativeMeta(
         Multimodal.withSyntheticPayload(t(s, dir, "documents"), "text"), "payload", "doc_id")),
+    // real PNG decode: payloads are minimal-but-real PNGs whose IHDR encodes
+    // id-derived dimensions; the engine must parse the bytes (PngDecoder),
+    // the oracle recomputes the expected fields from doc_id in SQL
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeMeta(
-        Multimodal.withSyntheticPayload(t(s, dir, "documents"), "text"), "payload", "doc_id")
+        Multimodal.withSyntheticPngPayload(t(s, dir, "documents"), "doc_id"),
+        "payload", "doc_id")
         .toDF()
         .select(col("doc_id"), col("meta.format").as("format"),
           col("meta.n_bytes").as("n_bytes"), col("meta.width").as("width"),
@@ -278,6 +360,16 @@ object SparkEntry {
         "SELECT conv_id, 1 AS turn_idx, c_name AS src_name, 'LIVES_IN' AS rel_type, n_name AS dst_name FROM b " +
         "UNION ALL SELECT conv_id, 2, n_name, 'LOCATED_IN', r_name FROM b " +
         "UNION ALL SELECT conv_id, 3, c_name, 'BASED_IN', r_name FROM b)"),
+    // 2-hop MATCH: Customer -LIVES_IN-> Nation -LOCATED_IN-> Region over the
+    // name-distinct edge view ≡ the distinct base-join rows
+    "kg_match_2hop" ->
+      s"WITH b AS ($B) SELECT DISTINCT b.c_name AS n_name, b.n_name AS a_name, b.r_name AS b_name FROM b",
+    // the BASED_IN edge always closes the 2-hop into a triangle
+    "kg_match_triangle" ->
+      s"WITH b AS ($B) SELECT DISTINCT b.c_name AS n_name, b.n_name AS a_name, b.r_name AS b_name FROM b",
+    "kg_match_demo" ->
+      (s"WITH b AS ($B) SELECT n_name AS name, CAST(2*COUNT(*) AS BIGINT) AS n_mentions " +
+        "FROM b GROUP BY n_name"),
 
     "q01_scan_filter" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_quantity > 45",
@@ -326,6 +418,10 @@ object SparkEntry {
     "q16_join_right" ->
       ("SELECT n_name, COUNT(c_custkey) AS n_cust, COALESCE(MAX(c_acctbal), -1.0) AS max_bal " +
         "FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
+    "q17_unit_start" -> "SELECT 'graft' AS engine, CAST(1 AS BIGINT) AS one",
+    "q18_remove_aliases" -> "SELECT n_nationkey, n_name FROM nation",
+    "el_bench" ->
+      "SELECT o_custkey AS src, COUNT(*) AS out_deg FROM orders GROUP BY o_custkey",
 
     "dd_exact" ->
       ("WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents) " +
@@ -387,6 +483,12 @@ object SparkEntry {
     "mm_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         // first 4 BYTES (not chars): hex the whole blob, take 8 hex digits
-        "lower(substr(hex(encode(text)), 1, 8)) AS magic_hex FROM documents")
+        "lower(substr(hex(encode(text)), 1, 8)) AS magic_hex FROM documents"),
+    // the engine must PARSE the 29-byte PNG (signature+IHDR); the oracle
+    // recomputes the id-derived dimensions arithmetically
+    "mm_decode" ->
+      ("SELECT doc_id, 'png' AS format, CAST(29 AS BIGINT) AS n_bytes, " +
+        "CAST(doc_id % 1000 + 1 AS INTEGER) AS width, " +
+        "CAST((doc_id * 7) % 1000 + 1 AS INTEGER) AS height FROM documents")
   )
 }

@@ -50,6 +50,8 @@ object ConnectedComponents {
       e.unpersist(false)
       e = next
       iter += 1
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        System.err.println(s"[cc] round $iter edges=${sig._1} converged=$converged")
     }
     // At the fixpoint every edge points from a node to its component min.
     val stars = e.select(col("src").as("id"), col("dst").as("component"))
@@ -61,7 +63,7 @@ object ConnectedComponents {
 
   /** Convenience: include isolated vertices from a full vertex list. */
   def runWithVertices(vertices: DataFrame, edges: DataFrame, maxIter: Int = 40): DataFrame = {
-    val comp = run(edges)
+    val comp = run(edges, maxIter)
     vertices.select(col("id").cast("long"))
       .distinct()
       .join(comp, Seq("id"), "left_outer")
@@ -83,6 +85,10 @@ object ConnectedComponents {
 
   /** large-star: connect every strictly-larger neighbor of u to u's min
     * neighborhood element m(u) = min(N(u) ∪ {u}).
+    *
+    * No distinct here: duplicates only inflate small-star's input by a
+    * bounded factor (each sym row emits ≤ 1 row) and small-star's final
+    * distinct dedups anyway — one shuffle per round instead of two.
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("src"), col("dst"))
@@ -93,7 +99,6 @@ object ConnectedComponents {
       .where(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
   }
 
   /** small-star: for each u, link all ≤-neighbors (and u) to the min. */

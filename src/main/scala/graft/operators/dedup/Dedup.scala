@@ -144,11 +144,51 @@ object Dedup {
         round(col("jac") * 1000).cast("long").as("jac_pm"))
   }
 
-  /** Embedding near-dup: cosine >= threshold pairs via brute candidate pairs
-    * (bounded input) — see graft.operators.similarity for the LSH-bucketed
-    * scale path.
+  /** Embedding near-dup at corpus scale: banded random-hyperplane LSH
+    * self-join. Each vector gets `numTables` signatures of `planesPerTable`
+    * sign bits (deterministic hyperplanes, seeded per table — reuses
+    * [[graft.operators.similarity.SimilaritySearch.lshSignature]]); vectors
+    * sharing any (table, signature) bucket become candidate pairs, verified
+    * by exact cosine. The banded join carries only (table, sig, id) — narrow
+    * rows; vectors are joined back once per surviving candidate pair.
+    *
+    * Tuning: recall for a pair at angle θ is 1-(1-(1-θ/π)^r)^L where
+    * r = planesPerTable, L = numTables. Candidate sparsity needs 2^r to be a
+    * meaningful fraction of n/targetBucketSize — at 100 TB raise r with
+    * corpus size (r ≈ log2(n) - log2(bucket)) and rely on the genuinely-near
+    * regime (cos ≥ 0.8 ⇒ per-bit agreement ≥ 0.8) keeping recall high at
+    * larger r. Defaults (r=4, L=16) fit the moderate-similarity test corpus
+    * (cos ≈ 0.35-0.5 ⇒ per-bit agreement ≈ 0.63 ⇒ recall ≈ 0.94).
+    * [[bruteEmbeddingNearDup]] is the small-scale exact verifier.
     */
   def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, numTables: Int = 16, planesPerTable: Int = 4,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorOps
+    import graft.operators.similarity.SimilaritySearch
+    val e = emb.select(col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("v"))
+    val sigs = array((0 until numTables).map(tb =>
+      struct(lit(tb).as("tb"),
+        SimilaritySearch.lshSignature(col("v"), planesPerTable, dim, seed + tb).as("sig"))): _*)
+    val banded = e.select(col("id"), explode(sigs).as("b"))
+      .select(col("id"), col("b.tb").as("tb"), col("b.sig").as("sig"))
+    val pairs = banded.select(col("tb"), col("sig"), col("id").as("id_a"))
+      .join(banded.select(col("tb"), col("sig"), col("id").as("id_b")), Seq("tb", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // the same pair can collide in several tables
+    pairs
+      .join(e.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cos", VectorOps.cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos") * 1000).cast("long").as("cos_pm"))
+  }
+
+  /** All-pairs exact cosine near-dup — O(n²), bounded inputs only: the
+    * verifier [[embeddingNearDup]]'s recall is measured against (OpsSpec).
+    */
+  def bruteEmbeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
     import graft.functions.VectorOps
     val e = emb.select(col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("v"))

@@ -196,9 +196,15 @@ object TranscriptGen {
         else {
           val tm = templates(Hashing.draw(templates.size, cfg.seed, "tm", cid, t, j))
           val se = pickEntity(tm.subjPool, cfg, cid, t, j, "s")
+          // avoid self-loops in gold: re-draw with an incrementing key suffix
+          // until distinct (a single re-draw can collide again, e.g. hub-hub
+          // for org-org templates); pool size ≥ 2 guarantees termination
           var oe = pickEntity(tm.objPool, cfg, cid, t, j, "ob")
-          if (oe.canonical == se.canonical) // avoid self-loops in gold
-            oe = pickEntity(tm.objPool, cfg, cid, t, j, "ob2")
+          var redraw = 2
+          while (oe.canonical == se.canonical && redraw < 16) {
+            oe = pickEntity(tm.objPool, cfg, cid, t, j, s"ob$redraw")
+            redraw += 1
+          }
           val year = 1960 + Hashing.draw(60, cfg.seed, "y", cid, t, j)
           val ss = surfaceOf(se, cfg, cid, t, j, "s")
           val os = surfaceOf(oe, cfg, cid, t, j, "o")

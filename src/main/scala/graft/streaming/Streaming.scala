@@ -59,26 +59,51 @@ object Streaming {
 
   /** Streaming sessionization with custom state
     * (flatMapGroupsWithState, Append): a session is emitted exactly once —
-    * when a later event proves it closed (gap exceeded), possibly batches
-    * later. The open tail lives in constant-size checkpointed state, so the
+    * either when a later event proves it closed (gap exceeded), or when the
+    * event-time watermark passes the session's gap deadline (EventTimeTimeout)
+    * for a user who went idle. State is therefore bounded: an open session
+    * lives at most `gapSec` of event time past its last event, then is
+    * emitted and REMOVED — no unbounded state growth on a long-running
+    * stream. The open tail lives in constant-size checkpointed state, so the
     * stream resumes sessions across restarts. Assumes per-user event-time
-    * arrives in order across batches (late data would need a
-    * watermark/EventTimeTimeout upgrade).
+    * arrives in order across batches (events later than the watermark are
+    * dropped by the watermark, as usual for stateful streaming).
+    *
+    * @param watermark event-time watermark duration (e.g. "10 seconds") —
+    *        required by EventTimeTimeout; bounds how late events may arrive.
     */
-  def sessionizeStream(events: Dataset[Event], gapSec: Long): Dataset[Session] = {
+  def sessionizeStream(events: Dataset[Event], gapSec: Long,
+      watermark: String = "10 seconds"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_.user_id)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, evs: Iterator[Event], state: GroupState[OpenSession]) =>
-          val sorted = evs.toVector.sortBy(e => (e.ts.getTime, e.event_id))
-          val (closed, open) = fold(uid, sorted, state.getOption, gapSec)
-          open match {
-            case Some(o) => state.update(o)
-            case None => if (state.exists) state.remove()
+          if (!evs.hasNext && state.hasTimedOut) {
+            // watermark passed lastMs + gap with no new events: the open
+            // session is provably closed — emit it and drop the state
+            val out = state.getOption.map(close(uid, _)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = evs.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+            val (closed, open) = fold(uid, sorted, state.getOption, gapSec)
+            open match {
+              case Some(o) =>
+                state.update(o)
+                // fire when event-time watermark passes the gap deadline;
+                // must be strictly beyond the current watermark or Spark
+                // throws — max() guards sessions already older than it
+                val deadline = o.lastMs + gapSec * 1000L
+                state.setTimeoutTimestamp(
+                  math.max(deadline, state.getCurrentWatermarkMs() + 1L))
+              case None => if (state.exists) state.remove()
+            }
+            closed.iterator
           }
-          closed.iterator
       }
   }
 

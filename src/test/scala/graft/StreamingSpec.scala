@@ -44,15 +44,53 @@ class StreamingSpec extends SparkTestBase {
       .parquet(s"$dir/out")
       .select("user_id", "session_start", "session_end", "n_events", "total_value")
       .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
-    // batch 1: two events 100s apart (one open session) — nothing closed yet
-    runBatch(Seq(Event(1, ts(0), 1L, "click", 1.0), Event(2, ts(100), 1L, "click", 2.0)),
+    // batch 1: two events 100s apart (one open session) — nothing closed yet.
+    // Timestamps start past the initial watermark (epoch 0): an event AT the
+    // watermark is dropped as late by stateful streaming.
+    runBatch(Seq(Event(1, ts(1000), 1L, "click", 1.0), Event(2, ts(1100), 1L, "click", 2.0)),
       s"$dir/in/b1")
     assert(emitted().isEmpty, "open session must not be emitted")
     // batch 2: an event past the gap closes the first session
-    runBatch(Seq(Event(3, ts(5000), 1L, "buy", 3.0)), s"$dir/in/b2")
+    runBatch(Seq(Event(3, ts(6000), 1L, "buy", 3.0)), s"$dir/in/b2")
     val sessions = emitted()
-    assert(sessions == Set((1L, ts(0), ts(100), 2L, 3.0)),
+    assert(sessions == Set((1L, ts(1000), ts(1100), 2L, 3.0)),
       s"closed session must merge events across the batch boundary: $sessions")
+  }
+
+  test("idle user's open session closes via event-time timeout and state is removed") {
+    val dir = tmpDir("graft-sess-timeout")
+    val ckpt = s"$dir/ckpt"
+    def runBatch(events: Seq[Event], batchDir: String): Unit = {
+      events.toDS().write.parquet(batchDir)
+      val stream = spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+        .parquet(s"$dir/in/*")
+      val q = Streaming.sessionizeStream(stream.as[Event], gapSec = 600)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def emitted() = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streaming.Session]].schema)
+      .parquet(s"$dir/out")
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    // batch 1: user 1 appears once (past the initial watermark), then goes
+    // permanently idle
+    runBatch(Seq(Event(1, ts(1000), 1L, "click", 1.0)), s"$dir/in/b1")
+    assert(emitted().isEmpty, "open session must not be emitted yet")
+    // batch 2: only user 2's events — they advance the watermark far past
+    // user 1's gap deadline (1000 + 600s)
+    runBatch(Seq(Event(2, ts(11000), 2L, "click", 2.0)), s"$dir/in/b2")
+    // batch 3: the watermark registered at the end of batch 2 now fires the
+    // EventTimeTimeout for user 1 — the session is emitted with NO user-1
+    // event ever arriving again, and the state entry is removed
+    runBatch(Seq(Event(3, ts(11010), 2L, "click", 1.0)), s"$dir/in/b3")
+    val sessions = emitted()
+    assert(sessions.contains((1L, ts(1000), ts(1000), 1L, 1.0)),
+      s"idle user's session must be emitted by timeout: $sessions")
+    assert(!sessions.exists(_._1 == 2L), s"user 2's session is still open: $sessions")
   }
 
   test("streaming windowed aggregation over a file source (memory sink)") {
