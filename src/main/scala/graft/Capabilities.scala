@@ -1,0 +1,90 @@
+package graft
+
+/** Pinned capability registry — the Spark-native analog of the reference's
+  * TCK blacklist (reference: tck/TckMemCypherTest.scala:46-57, where
+  * unsupported scenarios are *asserted* to fail so capability drift is
+  * loud). Here the engine's supported / deliberately-unsupported surface is
+  * pinned as data; CapabilitySpec asserts the pins against the actual API by
+  * reflection, so silently gaining or losing a capability breaks the build
+  * instead of passing unnoticed.
+  *
+  * A capability moves between sets only via an explicit edit here AND in the
+  * spec's mirrored copy — a two-file change that cannot happen by accident.
+  */
+object Capabilities {
+
+  /** Implemented operator/feature surface (SURVEY.md §2 inventory; each has
+    * a SparkEntry query and/or a dedicated spec).
+    */
+  val supported: Set[String] = Set(
+    // reference operator algebra (SURVEY.md §2.1)
+    "start_unit_table",
+    "node_scan_label_pruned",
+    "rel_scan_type_pruned",
+    "alias",
+    "project",
+    "select_fields",
+    "drop",
+    "remove_aliases",
+    "filter_three_valued",
+    "distinct",
+    "aggregate",
+    "order_by",
+    "limit", // beyond the reference (it lacks LIMIT/SKIP)
+    "join_inner",
+    "join_left_outer",
+    "join_right_outer",
+    "join_left_anti", // beyond the reference
+    "cartesian_product",
+    "union_all",
+    "expand",
+    "expand_into",
+    // pipeline stages (BASELINE.json north_star)
+    "triple_extraction",
+    "mention_detection",
+    "entity_linking_dict",
+    "entity_linking_lsh",
+    "connected_components",
+    "canonicalization",
+    "graph_materialize",
+    "snapshot_resume",
+    // sources/sinks
+    "edge_list_tsv_source",
+    "parquet_snapshot_sink",
+    // training-data ops
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_lsh",
+    "similarity_brute_topk",
+    "similarity_ann_lsh",
+    "text_langid",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "multimodal_meta",
+    "multimodal_decode_png",
+    "streaming_sessionize",
+    "streaming_windowed_agg")
+
+  /** Deliberately unsupported — mirrors the reference's own blacklist
+    * (CREATE/MERGE/SET/DELETE, var-length expand, graph union are all
+    * TCK-blacklisted or unimplemented there; SURVEY.md §2.3/§5) plus
+    * surfaces out of scope by the north rule. Each entry is a promise: no
+    * API exists for it, and CapabilitySpec fails if one appears.
+    */
+  val unsupported: Set[String] = Set(
+    "var_length_expand", // reference lacks it (no *1..n in the planner SPI)
+    "optional_match",
+    "shortest_path",
+    "skip", // reference lacks SKIP
+    "graph_union_all", // reference MemCypherGraph.unionAll = unimplemented
+    "mutation_create",
+    "mutation_merge",
+    "mutation_set",
+    "mutation_delete",
+    "cypher_string_parser", // north rule: NOT a port — patterns are programmatic
+    "multimodal_decode_jpeg", // stubbed: no codec in this container
+    "multimodal_decode_webp")
+}

@@ -67,20 +67,41 @@ object EntityLinker {
 
   /** LSH candidate match of `queries(norm)` against the dictionary; returns
     * (norm, canonical_id, canonical_name) for the best accepted candidate.
+    *
+    * Broadcast discipline: the banded index replicates each alias ×NumBands,
+    * so only NARROW rows (band, band_hash, alias) are banded — the wide
+    * shingle arrays and names stay un-replicated and are joined back once
+    * per surviving (norm, alias) candidate. At a 2M-alias vocabulary the
+    * previous wide banded broadcast would have been ~32M wide rows (round-1
+    * advice); the narrow index is ~32M × 3 small columns, and
+    * `broadcastDict = false` switches every dictionary join to a shuffle
+    * join when even that exceeds the broadcast budget.
     */
-  def lshLink(queries: DataFrame, dict: DataFrame): DataFrame = {
-    val q = queries.select(col("norm"))
+  def lshLink(queries: DataFrame, dict: DataFrame,
+      broadcastDict: Boolean = true): DataFrame = {
+    def hint(df: DataFrame): DataFrame = if (broadcastDict) broadcast(df) else df
+    val qSh = queries.select(col("norm"))
       .distinct()
       .withColumn("q_sh", shingles(col("norm")))
+    val qBands = qSh
       .withColumn("b", explode(bands(minhashSignature(col("q_sh")))))
-      .select(col("norm"), col("q_sh"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
-    val d = dict.select(col("alias"), col("canonical_id"), col("canonical_name"))
+      .select(col("norm"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    // un-banded dictionary: one wide row per alias (shingles + names)
+    val dAlias = dict.select(col("alias"), col("canonical_id"), col("canonical_name"))
       .distinct()
       .withColumn("d_sh", shingles(col("alias")))
-      .withColumn("b", explode(bands(minhashSignature(col("d_sh")))))
-      .select(col("alias"), col("canonical_id"), col("canonical_name"), col("d_sh"),
-        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
-    val cand = q.join(broadcast(d), Seq("band", "band_hash"))
+    // banded index: narrow rows only
+    val dBands = dAlias
+      .select(col("alias"), explode(bands(minhashSignature(col("d_sh")))).as("b"))
+      .select(col("alias"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    // candidate (norm, alias) pairs — deduped BEFORE the expensive
+    // shingle-Jaccard verify (a pair can collide in several bands)
+    val candPairs = qBands.join(hint(dBands), Seq("band", "band_hash"))
+      .select(col("norm"), col("alias"))
+      .distinct()
+    val cand = candPairs
+      .join(qSh, Seq("norm"))
+      .join(hint(dAlias), Seq("alias"))
       .withColumn("jac",
         size(array_intersect(col("q_sh"), col("d_sh"))).cast("double") /
           size(array_union(col("q_sh"), col("d_sh"))).cast("double"))
@@ -94,11 +115,22 @@ object EntityLinker {
         col("best.canonical_name").as("canonical_name"))
   }
 
-  /** Full S3: raw triples → linked triples, broadcast-join only on the big side. */
-  def link(triples: Dataset[RawTriple], dict: DataFrame, useLsh: Boolean = true): Dataset[LinkedTriple] = {
+  /** Full S3: raw triples → linked triples, broadcast-join only on the big
+    * side while the alias vocabulary fits the broadcast budget
+    * (`maxBroadcastAliases`); beyond it every dictionary join degrades to a
+    * shuffle join (the triple stream then shuffles on the norm key —
+    * unavoidable once the dictionary itself is too big to ship).
+    */
+  def link(triples: Dataset[RawTriple], dict: DataFrame, useLsh: Boolean = true,
+      maxBroadcastAliases: Long = 4000000L): Dataset[LinkedTriple] = {
     val spark = triples.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
+
+    // one dimension-sized count decides the join strategy (dict is persisted
+    // by the pipeline, so this is a cached scan, not a recompute)
+    val broadcastDict = dict.count() <= maxBroadcastAliases
+    def hint(df: DataFrame): DataFrame = if (broadcastDict) broadcast(df) else df
 
     val t = triples.toDF()
       .withColumn("s_norm", normCol(col("subj")))
@@ -110,24 +142,26 @@ object EntityLinker {
       col("canonical_name").as(s"${prefix}_dict_name"))
 
     var r = t
-      .join(broadcast(side("s")), Seq("s_norm"), "left_outer")
-      .join(broadcast(side("o")), Seq("o_norm"), "left_outer")
+      .join(hint(side("s")), Seq("s_norm"), "left_outer")
+      .join(hint(side("o")), Seq("o_norm"), "left_outer")
 
     if (useLsh) {
-      // miss set = distinct norms anti-joined against the (broadcast)
-      // dictionary — avoids a second full pass over the joined triple stream
+      // miss set = distinct norms anti-joined against the dictionary —
+      // avoids a second full pass over the joined triple stream
       val misses = t.select(col("s_norm").as("norm"))
         .unionByName(t.select(col("o_norm").as("norm")))
         .distinct()
-        .join(broadcast(dict.select(col("alias").as("norm"))), Seq("norm"), "left_anti")
-      val lsh = lshLink(misses, dict)
+        .join(hint(dict.select(col("alias").as("norm"))), Seq("norm"), "left_anti")
+      val lsh = lshLink(misses, dict, broadcastDict)
       def lshSide(prefix: String): DataFrame = lsh.select(
         col("norm").as(s"${prefix}_norm"),
         col("canonical_id").as(s"${prefix}_lsh_id"),
         col("canonical_name").as(s"${prefix}_lsh_name"))
+      // the LSH result is bounded by the miss-surface vocabulary — same
+      // broadcast budget as the dictionary
       r = r
-        .join(broadcast(lshSide("s")), Seq("s_norm"), "left_outer")
-        .join(broadcast(lshSide("o")), Seq("o_norm"), "left_outer")
+        .join(hint(lshSide("s")), Seq("s_norm"), "left_outer")
+        .join(hint(lshSide("o")), Seq("o_norm"), "left_outer")
     } else {
       r = r
         .withColumn("s_lsh_id", lit(null).cast("long"))

@@ -58,16 +58,13 @@ object Pipeline {
   private def checkConfigFingerprint(cfg: Config): Unit = {
     val fp = Seq(cfg.gen.nConv, cfg.gen.seed, cfg.gen.hubFrac, cfg.gen.aliasNoise,
       cfg.gen.nEntities, cfg.useLsh, cfg.transcriptsPath.getOrElse("")).mkString("|")
-    val p = java.nio.file.Paths.get(cfg.workDir, "config.fingerprint")
-    if (java.nio.file.Files.exists(p)) {
-      val prev = new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8)
-      if (prev != fp) throw new IllegalStateException(
-        s"workDir ${cfg.workDir} was created by a different pipeline config " +
-          s"(existing: $prev, requested: $fp); use a fresh workDir or delete this one")
-    } else {
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val p = new org.apache.hadoop.fs.Path(cfg.workDir, "config.fingerprint")
+    TableIO.readString(p) match {
+      case Some(prev) =>
+        if (prev != fp) throw new IllegalStateException(
+          s"workDir ${cfg.workDir} was created by a different pipeline config " +
+            s"(existing: $prev, requested: $fp); use a fresh workDir or delete this one")
+      case None => TableIO.writeString(p, fp)
     }
   }
 
@@ -101,7 +98,14 @@ object Pipeline {
         }
       } else {
         val t0 = System.nanoTime()
-        val df = compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // materialize AND cut lineage (localCheckpoint ⇒ the downstream
+        // stage sees a shallow LogicalRDD scan, mirroring what the snapshot
+        // path gives for free). Without the cut, every downstream action
+        // re-canonicalizes and re-renders the whole upstream DAG — with the
+        // LSH expression trees that was MINUTES of driver-side plan-string
+        // building per AQE update (observed as nondeterministic 200-300 s
+        // stage stalls in the scaling bench).
+        val df = compute.localCheckpoint(true)
         val rows = df.count()
         stages += StageRun(name, rows, (System.nanoTime() - t0) / 1000000, resumed = false)
         df
@@ -154,9 +158,7 @@ object Pipeline {
     val json = r.stages.map(s =>
       s"""{"stage":"${s.stage}","rows":${s.rows},"wall_ms":${s.wallMs},"resumed":${s.resumed}}""")
       .mkString("[", ",", "]")
-    val p = java.nio.file.Paths.get(cfg.workDir, "metrics.json")
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    TableIO.writeString(new org.apache.hadoop.fs.Path(cfg.workDir, "metrics.json"), json)
   }
 }
 
@@ -172,6 +174,7 @@ object PipelineMain {
         sys.env.getOrElse("GRAFT_MASTER", "local[*]")))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.maxPlanStringLength", "32768")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val r = Pipeline.run(spark, Pipeline.Config(workDir,

@@ -38,6 +38,26 @@ object Hashing {
   /** Uniform double in [0, 1) from a mix. */
   def unit(parts: Any*): Double =
     (mix(parts: _*) >>> 11).toDouble / (1L << 53).toDouble
+
+  /** splitmix64 finalizer: full-avalanche post-mix. FNV-1a alone has weak
+    * avalanche on short, similar keys — its low bit is literally the XOR of
+    * input-byte parities (the multiplier is odd), and adjacent structured
+    * keys give correlated high bits too; that collapsed the LSH hyperplanes
+    * into one vector up to sign. Use the finalized variants whenever values
+    * must be statistically independent across adjacent keys.
+    */
+  def avalanche(h0: Long): Long = {
+    var z = h0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Uniform double in [0, 1) with full avalanche (independent across
+    * adjacent keys) — for pseudo-random plane components and the like.
+    */
+  def unitMixed(parts: Any*): Double =
+    (avalanche(mix(parts: _*)) >>> 11).toDouble / (1L << 53).toDouble
 }
 
 object Sessions {
@@ -54,6 +74,10 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // plan strings are rendered for the listener bus on EVERY execution
+      // and every AQE plan update even with the UI off; unbounded, a plan
+      // carrying big expression trees costs driver-minutes per action
+      .config("spark.sql.maxPlanStringLength", "32768")
       .getOrCreate()
   }
 }

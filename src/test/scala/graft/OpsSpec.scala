@@ -63,6 +63,33 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.6, f"recall $recall%.2f")
   }
 
+  test("embedding near-dup LSH recall >= 0.85 vs brute all-pairs on sf0.01 embeddings (no id cap)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val brute = Dedup.bruteEmbeddingNearDup(emb, "embedding", "vec_id", 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDup(emb, "embedding", "vec_id", 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute), "every LSH pair must pass the exact-cosine verify")
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    info(f"embedding near-dup recall vs brute: $recall%.3f (${lsh.size}/${brute.size} pairs)")
+    assert(recall >= 0.85, f"recall $recall%.3f")
+  }
+
+  test("PNG decoder parses IHDR width/height from real bytes; non-PNG falls back to stub") {
+    val withPng = Multimodal.withSyntheticPngPayload(docs, "doc_id")
+    val decoded = Multimodal.decodeMeta(withPng, "payload", "doc_id").collect()
+    decoded.foreach { d =>
+      assert(d.meta.format == "png")
+      assert(d.meta.width == (d.doc_id % 1000 + 1).toInt)
+      assert(d.meta.height == ((d.doc_id * 7) % 1000 + 1).toInt)
+      assert(d.meta.n_bytes == 29L)
+    }
+    // a non-PNG payload takes the stub path, not the PNG parser
+    val raw = Multimodal.withSyntheticPayload(docs.limit(1), "text")
+    val stub = Multimodal.decodeMeta(raw, "payload", "doc_id").head()
+    assert(stub.meta.width >= 64 && stub.meta.height >= 64)
+  }
+
   test("fingerprint: case/whitespace-invariant, content-sensitive, codegen == interpreted") {
     val fp = RollingFingerprint.fingerprint _
     assert(fp("Hello  World") == fp("hello world"))

@@ -88,6 +88,23 @@ class PipelineSpec extends SparkTestBase {
     rm(dir)
   }
 
+  test("lost CURRENT pointer recovers from manifests (crash between manifest write and pointer swap)") {
+    val dir = tmpDir("graft-current")
+    Pipeline.run(spark, cfg(dir, nConv = 4))
+    val table = s"$dir/triples"
+    val before = TableIO.currentId(table)
+    assert(before.isDefined)
+    val rows = TableIO.read(spark, table).count()
+    // simulate a crash that lost the pointer: manifest (the commit point)
+    // and data _SUCCESS survive, CURRENT does not
+    Files.delete(Paths.get(table, "metadata", "CURRENT"))
+    assert(TableIO.currentId(table) == before,
+      "currentId must recover the committed snapshot by scanning manifests")
+    assert(TableIO.isComplete(table))
+    assert(TableIO.read(spark, table).count() == rows)
+    rm(dir)
+  }
+
   test("per-turn text equality under stable ordering (row-level invariant)") {
     val dir = tmpDir("graft-inv")
     Pipeline.run(spark, cfg(dir, nConv = 6))
