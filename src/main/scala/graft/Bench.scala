@@ -60,27 +60,39 @@ object Bench {
     }.getOrElse(-1.0)
 
   private final case class Trial(cores: Int, turns: Long, sec: Double,
-      load: Double, extBusy: Double, stages: Seq[(String, Double)]) {
+      load: Double, extBusy: Double, achievedCores: Double,
+      stages: Seq[(String, Double)]) {
     def tput: Double = turns / sec
   }
 
-  /** One full pipeline run at the given parallelism. */
+  private def procCpuNs: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean].getProcessCpuTime
+
+  /** One full pipeline run at the given parallelism. `achievedCores` =
+    * process CPU seconds / wall seconds — the in-trial contamination signal:
+    * on this shared host, co-tenant bursts (minutes long, invisible to
+    * pre-trial sampling) show up as the JVM achieving far less parallelism
+    * than requested.
+    */
   private def pipelineRun(cores: Int, nConv: Long): Trial = {
     val dir = s"/tmp/graft-bench-$cores-$nConv"
     rmrf(dir)
     val load = loadavg1()
     val extBusy = cpuBusyFrac()
     val spark = session(cores)
+    val cpu0 = procCpuNs
     val t0 = System.nanoTime()
     val r = Pipeline.run(spark, Pipeline.Config(dir,
       TranscriptGen.Config(nConv = nConv), checkpoint = "final"))
     val sec = (System.nanoTime() - t0) / 1e9
+    val achieved = (procCpuNs - cpu0) / 1e9 / sec
     val stages = r.stages.map(s => s.stage -> s.wallMs / 1000.0)
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     rmrf(dir)
-    Trial(cores, r.turns, sec, load, extBusy, stages)
+    Trial(cores, r.turns, sec, load, extBusy, achieved, stages)
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -96,7 +108,11 @@ object Bench {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nConv = sys.env.getOrElse("GRAFT_BENCH_CONV", "100000").toLong
+    // 400k conversations (~8.6M turns): at 100k the pipeline is stage-latency
+    // bound and local[8] under-measures CPU (per-turn core-µs differ 2×
+    // between configs); at 400k both configs pay the same per-turn CPU and
+    // the proxy reflects real parallel scaling
+    val nConv = sys.env.getOrElse("GRAFT_BENCH_CONV", "400000").toLong
 
     val skipQueries = sys.env.contains("GRAFT_BENCH_SKIP_QUERIES")
     val failures = Seq.newBuilder[String]
@@ -127,15 +143,20 @@ object Bench {
     val loCores = sys.env.getOrElse("GRAFT_BENCH_CORES_LOW", "8").toInt
     val hiCores = sys.env.getOrElse("GRAFT_BENCH_CORES_HIGH", "32").toInt
     val trials = sys.env.getOrElse("GRAFT_BENCH_TRIALS", "3").toInt
-    // a trial is load-clean when external CPU busy (measured while this JVM
-    // idles, pre-trial) is below this fraction of the host
+    // a trial is load-clean when (a) external CPU busy (measured while this
+    // JVM idles, pre-trial) is below cleanBusy AND (b) the trial actually
+    // achieved ≥ minUtil × requested cores of parallelism — (b) catches the
+    // minutes-long co-tenant bursts this shared host exhibits mid-trial,
+    // which pre-trial sampling cannot see
     val cleanBusy = sys.env.getOrElse("GRAFT_BENCH_CLEAN_BUSY", "0.30").toDouble
-    pipelineRun(hiCores, math.max(nConv / 20, 200)) // warmup: JIT/codegen
+    val minUtil = sys.env.getOrElse("GRAFT_BENCH_MIN_UTIL", "0.5").toDouble
+    pipelineRun(hiCores, math.max(nConv / 10, 200)) // warmup: JIT/codegen/heap-touch
     val all = (1 to trials).flatMap(_ =>
       Seq(pipelineRun(loCores, nConv), pipelineRun(hiCores, nConv)))
     def pick(cores: Int): (Seq[Trial], Boolean) = {
       val ts = all.filter(_.cores == cores)
-      val clean = ts.filter(t => t.extBusy >= 0 && t.extBusy <= cleanBusy)
+      val clean = ts.filter(t => t.extBusy >= 0 && t.extBusy <= cleanBusy &&
+        t.achievedCores >= minUtil * cores)
       if (clean.nonEmpty) (clean, true) else (ts, false)
     }
     val (lo, loClean) = pick(loCores)
@@ -156,7 +177,8 @@ object Bench {
       st.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     val trialsJson = all.map(t =>
       f"""{"cores":${t.cores},"sec":${t.sec}%.2f,"turns_per_sec":${t.tput}%.1f,""" +
-        f""""loadavg":${t.load}%.2f,"ext_busy":${t.extBusy}%.3f}""")
+        f""""loadavg":${t.load}%.2f,"ext_busy":${t.extBusy}%.3f,""" +
+        f""""achieved_cores":${t.achievedCores}%.1f}""")
       .mkString("[", ",", "]")
     val scaling = f"""{"n_conv":$nConv,"turns":${all.head.turns},""" +
       f""""sec_8":$secLo%.2f,"sec_32":$secHi%.2f,""" +

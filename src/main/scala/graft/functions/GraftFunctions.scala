@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.util.Hashing
@@ -72,15 +73,84 @@ object RollingFingerprint {
   }
 }
 
+/** Random-hyperplane LSH signature as a native codegen expression:
+  * bit r of the result = sign of ⟨vec, plane_r⟩, planes deterministic from
+  * (numPlanes, dim, seed) via the avalanche-finalized hash stream and cached
+  * per JVM in the companion. One tree node instead of numPlanes × dim
+  * literal-array expressions — without this, plans carrying banded-LSH
+  * signatures ballooned to thousands of literals per column, which is what
+  * made Spark's per-execution plan-string rendering a driver bottleneck.
+  */
+case class HyperplaneSig(child: Expression, numPlanes: Int, dim: Int, seed: Long)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<DOUBLE>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneSig.signature(v.asInstanceOf[ArrayData], numPlanes, dim, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HyperplaneSig.signature($c, $numPlanes, $dim, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+  override def prettyName: String = "graft_hyperplane_sig"
+}
+
+object HyperplaneSig {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]
+
+  /** Deterministic pseudo-random planes, component uniform in [-1, 1) from
+    * the avalanche-finalized hash (see Hashing.unitMixed for why plain FNV
+    * bits must not be used). Cached per (numPlanes, dim, seed) per JVM.
+    */
+  def planes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    cache.computeIfAbsent((numPlanes, dim, seed), key =>
+      Array.tabulate(key._1, key._2)((r, i) =>
+        Hashing.unitMixed(key._3, "plane", r, i) * 2.0 - 1.0))
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def signature(vec: ArrayData, numPlanes: Int, dim: Int, seed: Long): Long = {
+    val ps = planes(numPlanes, dim, seed)
+    val n = math.min(vec.numElements(), dim)
+    var sig = 0L
+    var r = 0
+    while (r < numPlanes) {
+      val p = ps(r)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += vec.getDouble(i) * p(i); i += 1 }
+      if (dot >= 0) sig |= (1L << r)
+      r += 1
+    }
+    sig
+  }
+}
+
 /** Session-level registration; exposes the expressions as [[Column]]
-  * functions via the public `call_function` resolver.
+  * functions via the public `call_function` resolver. The Column helpers
+  * self-register against the active session, so call sites never depend on
+  * some earlier query having called [[register]] first.
   */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_fnv64", es => Fnv64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_fingerprint", es => RollingFingerprint(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_hyperplane_sig", es =>
+      HyperplaneSig(es.head,
+        es(1).eval().asInstanceOf[Int],
+        es(2).eval().asInstanceOf[Int],
+        es(3).eval().asInstanceOf[Long]), "built-in")
   }
-  def fnv64(c: Column): Column = call_function("graft_fnv64", c)
-  def fingerprint(c: Column): Column = call_function("graft_fingerprint", c)
+  private def ensure(): Unit = SparkSession.getActiveSession.foreach(register)
+  def fnv64(c: Column): Column = { ensure(); call_function("graft_fnv64", c) }
+  def fingerprint(c: Column): Column = { ensure(); call_function("graft_fingerprint", c) }
+  def hyperplaneSig(c: Column, numPlanes: Int, dim: Int, seed: Long): Column = {
+    ensure()
+    call_function("graft_hyperplane_sig", c, lit(numPlanes), lit(dim), lit(seed))
+  }
 }

@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.util.Hashing
-
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`). Two paths:
   *
@@ -39,28 +37,16 @@ object SimilaritySearch {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: plane r, component i is
-    * uniform in [-1, 1) from the full-width hash via Hashing.unit.
-    *
-    * NOT the low hash bit: FNV-1a's multiplier is odd, so `hash & 1` is just
-    * the XOR of input-byte parities — with positional string keys that made
-    * every "±1 plane" the same vector up to a global sign flip, collapsing
-    * all signatures into 2 buckets (found by a recall sweep where r/L had no
-    * effect). Full-width uniform components give genuinely independent
-    * planes.
+  /** r-bit signature column for a double-array vector column — one native
+    * codegen expression ([[graft.functions.HyperplaneSig]]); the
+    * deterministic plane matrix lives in the JVM, not in the plan. Planes
+    * use avalanche-finalized hash components: the original "±1 from the low
+    * FNV bit" design was parity-degenerate (every plane the same vector up
+    * to sign → 2 buckets total), and even raw-FNV uniform components were
+    * correlated enough to halve recall — see Hashing.unitMixed.
     */
-  private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] =
-    (0 until numPlanes).map(r => (0 until dim).map(i =>
-      Hashing.unitMixed(seed, "plane", r, i) * 2.0 - 1.0))
-
-  /** r-bit signature column for a double-array vector column. */
-  def lshSignature(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
-    val ps = planes(numPlanes, dim, seed)
-    ps.zipWithIndex.map { case (p, r) =>
-      val planeLit = array(p.map(lit): _*)
-      when(dotD(vec, planeLit) >= 0, shiftleft(lit(1L), r)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def lshSignature(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    graft.functions.GraftFunctions.hyperplaneSig(vec, numPlanes, dim, seed)
 
   /** ANN top-k via multi-table LSH buckets with Hamming≤1 multi-probe per
     * table: the corpus is bucketed `numTables` times (independent plane sets

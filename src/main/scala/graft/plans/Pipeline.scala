@@ -104,8 +104,17 @@ object Pipeline {
         // re-canonicalizes and re-renders the whole upstream DAG — with the
         // LSH expression trees that was MINUTES of driver-side plan-string
         // building per AQE update (observed as nondeterministic 200-300 s
-        // stage stalls in the scaling bench).
-        val df = compute.localCheckpoint(true)
+        // stage stalls in the scaling bench). GRAFT_FINAL_MODE switches the
+        // materialization strategy for A/B measurement.
+        val df = sys.env.getOrElse("GRAFT_FINAL_MODE", "ckpt_ser") match {
+          case "persist" =>
+            val d = compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            d.count()
+            d
+          case "ckpt" => compute.localCheckpoint(true)
+          case _ => compute.localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        }
         val rows = df.count()
         stages += StageRun(name, rows, (System.nanoTime() - t0) / 1000000, resumed = false)
         df
