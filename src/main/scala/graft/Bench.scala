@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
 
 import org.apache.spark.sql.SparkSession
 
@@ -11,14 +12,31 @@ import graft.sources.TranscriptGen
   * SPARK_GRAFT_SF_DIR, then measures full-pipeline throughput (turns/sec) at
   * two parallelism levels — local[8] vs local[32] on identical input — as
   * the sandbox proxy for the N vs 4N executor-cluster scaling-efficiency
-  * criterion (BASELINE.md). Prints exactly ONE JSON line.
+  * criterion (BASELINE.md). Prints exactly ONE JSON line on stdout.
   *
-  * Scaling protocol (round-2 fix — the round-1 single-trial numbers were
-  * load-contaminated): configs run INTERLEAVED (lo, hi, lo, hi, …) so
-  * external host load hits both configs alike; /proc/loadavg is recorded
-  * before each trial; the reported throughput per config is the MEDIAN of
-  * load-clean trials (1-min loadavg ≤ GRAFT_BENCH_CLEAN_LOAD, default 8.0 —
-  * falls back to all trials when none are clean, flagged in the JSON).
+  * Evidence survives partial runs (round-3 fix — round 2's bench hit the
+  * driver's wall-clock limit and emitted NOTHING):
+  *  - the in-progress JSON is rebuilt after every query timing and every
+  *    pipeline trial and held in [[state]]; a JVM shutdown hook prints it
+  *    (flagged `"partial":true`) if the process is killed before the final
+  *    line — so a SIGTERM/timeout still ships every number measured so far;
+  *  - the run is wall-clock-budget-aware (`GRAFT_BENCH_BUDGET_SEC`, default
+  *    2400): before each interleaved trial pair the worst observed pair cost
+  *    is charged against the remaining budget, and when it doesn't fit the
+  *    loop stops scheduling trials and flags `"budget_truncated":true`. The
+  *    first pair always runs (scaling evidence beats trial count).
+  *
+  * Scaling protocol: configs run INTERLEAVED (lo, hi, lo, hi, …) so external
+  * host load hits both configs alike. Clean-trial rule (self-calibrating):
+  * the pipeline's CPU cost per turn (achieved cores × wall / turns) is
+  * config-independent at this corpus size, so the minimum across ALL trials
+  * is the uncontaminated cost and any trial burning more than
+  * GRAFT_BENCH_CPU_FACTOR (default 1.4) × that was externally disturbed; the
+  * reported throughput per config is the MEDIAN of clean trials (falling
+  * back to the highest-throughput trial, flagged `*_used_clean:false`, when
+  * none are clean). /proc/loadavg and idle-sampled /proc/stat busy fractions
+  * are recorded per trial as context but are NOT the filter — loadavg decays
+  * too slowly after our own 32-core trials to separate us from co-tenants.
   */
 object Bench {
 
@@ -43,9 +61,7 @@ object Bench {
       .split(" ")(0).toDouble).getOrElse(-1.0)
 
   /** External CPU contention: /proc/stat busy fraction sampled while this
-    * JVM is idle (between trials). Preferred over loadavg for the clean
-    * filter — the 1-min loadavg decays slowly, so after an interleaved
-    * 32-core trial it reflects OUR previous trial, not the host.
+    * JVM is idle (between trials). Recorded as context alongside loadavg.
     */
   private def cpuBusyFrac(sampleMs: Long = 3000): Double =
     scala.util.Try {
@@ -63,6 +79,7 @@ object Bench {
       load: Double, extBusy: Double, achievedCores: Double,
       stages: Seq[(String, Double)]) {
     def tput: Double = turns / sec
+    def cpuPerTurn: Double = achievedCores * sec / turns
   }
 
   private def procCpuNs: Long =
@@ -102,6 +119,19 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** Latest best-known output line; the shutdown hook prints it (exactly
+    * once, racing main's final println via [[printed]]) if the JVM dies
+    * before the run completes.
+    */
+  private val state = new AtomicReference[String](null)
+  private val printed = new AtomicBoolean(false)
+
+  private def emitFinal(json: String): Unit =
+    if (printed.compareAndSet(false, true)) { println(json); System.out.flush() }
+
+  private def jnum(d: Double): String =
+    if (d.isNaN || d.isInfinite) "null" else f"$d%.3f"
+
   def main(args: Array[String]): Unit = {
     // the one JSON output line is built with f"" (String.format) — pin the
     // locale so decimal points never render as commas
@@ -113,90 +143,118 @@ object Bench {
     // between configs); at 400k both configs pay the same per-turn CPU and
     // the proxy reflects real parallel scaling
     val nConv = sys.env.getOrElse("GRAFT_BENCH_CONV", "400000").toLong
+    val budgetSec = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
+    val wall0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - wall0) / 1e9
+
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val s = state.get()
+      if (s != null) emitFinal(s)
+    }))
 
     val skipQueries = sys.env.contains("GRAFT_BENCH_SKIP_QUERIES")
-    val failures = Seq.newBuilder[String]
-    val results =
-      if (skipQueries) Seq.empty[(String, Double)]
-      else {
-        val spark = session(cpus)
-        val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          // a crashing query must NOT masquerade as a normal timing row:
-          // record it in query_failures (and rc) instead of swallowing
-          try { fn(spark, sfDir).count() } catch {
-            case e: Throwable =>
-              failures += name
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          }
-          name -> (System.nanoTime() - t0) / 1e9
-        }
-        spark.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        rs
-      }
-    val failed = failures.result()
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val trials = scala.collection.mutable.ArrayBuffer.empty[Trial]
+    var truncated = false
 
-    // scaling evidence: identical pipeline job at N and 4N cores,
-    // interleaved trials, median of load-clean trials per config.
+    def failJson = failures.map(n => s""""$n"""").mkString("[", ",", "]")
+    def queriesJson = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+
     val loCores = sys.env.getOrElse("GRAFT_BENCH_CORES_LOW", "8").toInt
     val hiCores = sys.env.getOrElse("GRAFT_BENCH_CORES_HIGH", "32").toInt
-    val trials = sys.env.getOrElse("GRAFT_BENCH_TRIALS", "3").toInt
-    // Clean-trial filter, self-calibrating: the pipeline's CPU cost per turn
-    // (achieved cores × wall / turns) is config-independent at this corpus
-    // size, so the minimum across ALL trials is the uncontaminated cost and
-    // any trial burning > cpuFactor × that was externally disturbed.
-    // This catches what pre-trial sampling and utilization floors cannot:
-    // co-tenant cache/bandwidth thrash makes our threads BURN cpu while
-    // doing less work — utilization looks fine, per-turn CPU does not.
+    val maxPairs = sys.env.getOrElse("GRAFT_BENCH_TRIALS", "3").toInt
     val cpuFactor = sys.env.getOrElse("GRAFT_BENCH_CPU_FACTOR", "1.4").toDouble
-    pipelineRun(hiCores, math.max(nConv / 10, 200)) // warmup: JIT/codegen/heap-touch
-    val all = (1 to trials).flatMap(_ =>
-      Seq(pipelineRun(loCores, nConv), pipelineRun(hiCores, nConv)))
-    val bestCpuPerTurn = all.map(t => t.achievedCores * t.sec / t.turns).min
-    def pick(cores: Int): (Seq[Trial], Boolean) = {
-      val ts = all.filter(_.cores == cores)
-      val clean = ts.filter(t =>
-        t.achievedCores * t.sec / t.turns <= cpuFactor * bestCpuPerTurn)
-      // no clean trial for this config ⇒ least-contaminated (highest tput)
-      // trial, flagged false in the JSON
-      if (clean.nonEmpty) (clean, true) else (Seq(ts.maxBy(_.tput)), false)
-    }
-    val (lo, loClean) = pick(loCores)
-    val (hi, hiClean) = pick(hiCores)
-    val tputLo = median(lo.map(_.tput))
-    val tputHi = median(hi.map(_.tput))
-    val eff = (tputHi / tputLo) / (hiCores.toDouble / loCores)
-    // stage breakdown from the trial closest to the median throughput
-    def repr(ts: Seq[Trial], m: Double): Trial = ts.minBy(t => math.abs(t.tput - m))
-    val stagesLo = repr(lo, tputLo).stages
-    val stagesHi = repr(hi, tputHi).stages
-    val secLo = median(lo.map(_.sec))
-    val secHi = median(hi.map(_.sec))
 
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    def stagesJson(st: Seq[(String, Double)]): String =
-      st.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-    val trialsJson = all.map(t =>
-      f"""{"cores":${t.cores},"sec":${t.sec}%.2f,"turns_per_sec":${t.tput}%.1f,""" +
-        f""""loadavg":${t.load}%.2f,"ext_busy":${t.extBusy}%.3f,""" +
-        f""""achieved_cores":${t.achievedCores}%.1f}""")
-      .mkString("[", ",", "]")
-    val scaling = f"""{"n_conv":$nConv,"turns":${all.head.turns},""" +
-      f""""sec_8":$secLo%.2f,"sec_32":$secHi%.2f,""" +
-      f""""turns_per_sec_8":$tputLo%.1f,"turns_per_sec_32":$tputHi%.1f,""" +
-      f""""scaling_efficiency":$eff%.3f,""" +
-      f""""protocol":{"trials_per_config":$trials,"interleaved":true,""" +
-      f""""clean_rule":"cpu_per_turn<=${cpuFactor}%.1fx_best",""" +
-      f""""best_cpu_us_per_turn":${bestCpuPerTurn * 1e6}%.1f,""" +
-      f""""lo_used_clean":$loClean,"hi_used_clean":$hiClean,""" +
-      f""""trials":$trialsJson},""" +
-      f""""stage_sec_8":${stagesJson(stagesLo)},"stage_sec_32":${stagesJson(stagesHi)}}"""
-    val failJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-      f""""query_failures":$failJson,"sf":"$sfDir","pipeline_scaling":$scaling}""")
-    if (failed.nonEmpty) sys.exit(1)
+    /** Full output line from everything measured so far. */
+    def render(partial: Boolean): String = {
+      val scaling =
+        if (trials.isEmpty)
+          s"""{"n_conv":$nConv,"trials":[],"scaling_efficiency":null,"budget_truncated":$truncated}"""
+        else {
+          val bestCpuPerTurn = trials.map(_.cpuPerTurn).min
+          def pick(cores: Int): (Seq[Trial], Boolean) = {
+            val ts = trials.filter(_.cores == cores).toSeq
+            if (ts.isEmpty) return (Nil, false)
+            val clean = ts.filter(_.cpuPerTurn <= cpuFactor * bestCpuPerTurn)
+            // no clean trial for this config ⇒ least-contaminated (highest
+            // tput) trial, flagged false in the JSON
+            if (clean.nonEmpty) (clean, true) else (Seq(ts.maxBy(_.tput)), false)
+          }
+          val (lo, loClean) = pick(loCores)
+          val (hi, hiClean) = pick(hiCores)
+          val tputLo = median(lo.map(_.tput))
+          val tputHi = median(hi.map(_.tput))
+          val eff = (tputHi / tputLo) / (hiCores.toDouble / loCores)
+          def repr(ts: Seq[Trial], m: Double): Seq[(String, Double)] =
+            if (ts.isEmpty) Nil else ts.minBy(t => math.abs(t.tput - m)).stages
+          def stagesJson(st: Seq[(String, Double)]): String =
+            st.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+          val trialsJson = trials.map(t =>
+            f"""{"cores":${t.cores},"sec":${t.sec}%.2f,"turns_per_sec":${t.tput}%.1f,""" +
+              f""""loadavg":${t.load}%.2f,"ext_busy":${t.extBusy}%.3f,""" +
+              f""""achieved_cores":${t.achievedCores}%.1f}""")
+            .mkString("[", ",", "]")
+          s"""{"n_conv":$nConv,"turns":${trials.head.turns},""" +
+            s""""sec_8":${jnum(median(lo.map(_.sec)))},"sec_32":${jnum(median(hi.map(_.sec)))},""" +
+            s""""turns_per_sec_8":${jnum(tputLo)},"turns_per_sec_32":${jnum(tputHi)},""" +
+            s""""scaling_efficiency":${jnum(eff)},""" +
+            s""""protocol":{"pairs_run":${trials.count(_.cores == loCores)},"interleaved":true,""" +
+            f""""clean_rule":"cpu_per_turn<=${cpuFactor}%.1fx_best",""" +
+            f""""best_cpu_us_per_turn":${bestCpuPerTurn * 1e6}%.1f,""" +
+            s""""lo_used_clean":$loClean,"hi_used_clean":$hiClean,""" +
+            s""""budget_truncated":$truncated,"trials":$trialsJson},""" +
+            s""""stage_sec_8":${stagesJson(repr(lo, tputLo))},""" +
+            s""""stage_sec_32":${stagesJson(repr(hi, tputHi))}}"""
+        }
+      val total = results.map(_._2).sum
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$queriesJson,""" +
+        f""""query_failures":$failJson,"sf":"$sfDir","partial":$partial,""" +
+        f""""budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsed%.0f,""" +
+        f""""pipeline_scaling":$scaling}"""
+    }
+    def checkpoint(): Unit = state.set(render(partial = true))
+
+    if (!skipQueries) {
+      val spark = session(cpus)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // a crashing query must NOT masquerade as a normal timing row:
+        // record it in query_failures (and rc) instead of swallowing
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            failures += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        results += name -> (System.nanoTime() - t0) / 1e9
+        checkpoint()
+      }
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+
+    // scaling evidence: identical pipeline job at N and 4N cores, run in
+    // interleaved (lo, hi) pairs, budget-charged per pair
+    if (elapsed < 0.4 * budgetSec)
+      pipelineRun(hiCores, math.max(nConv / 10, 200)) // warmup: JIT/codegen/heap-touch
+    var pair = 0
+    while (pair < maxPairs && !truncated) {
+      val pairCost = // worst observed cost of a (lo, hi) pair so far
+        if (trials.isEmpty) 0.0
+        else trials.filter(_.cores == loCores).map(_.sec).max +
+          trials.filter(_.cores == hiCores).map(_.sec).max
+      // the first pair always runs — partial scaling evidence beats none
+      if (pair > 0 && elapsed + pairCost > budgetSec) truncated = true
+      else {
+        trials += pipelineRun(loCores, nConv); checkpoint()
+        trials += pipelineRun(hiCores, nConv); checkpoint()
+        pair += 1
+        if (elapsed > budgetSec) truncated = true
+      }
+    }
+
+    emitFinal(render(partial = false))
+    if (failures.nonEmpty) sys.exit(1)
   }
 }
