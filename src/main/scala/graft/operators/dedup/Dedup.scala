@@ -153,36 +153,55 @@ object Dedup {
     * rows; vectors are joined back once per surviving candidate pair.
     *
     * Tuning: recall for a pair at angle θ is 1-(1-(1-θ/π)^r)^L where
-    * r = planesPerTable, L = numTables. Candidate sparsity needs 2^r to be a
-    * meaningful fraction of n/targetBucketSize — at 100 TB raise r with
-    * corpus size (r ≈ log2(n) - log2(bucket)) and rely on the genuinely-near
-    * regime (cos ≥ 0.8 ⇒ per-bit agreement ≥ 0.8) keeping recall high at
-    * larger r. Defaults (r=4, L=16) fit the moderate-similarity test corpus
-    * (cos ≈ 0.35-0.5 ⇒ per-bit agreement ≈ 0.63 ⇒ recall ≈ 0.94).
+    * r = planesPerTable, L = numTables. `planesPerTable = 0` (the default)
+    * derives r from a corpus count via
+    * [[graft.operators.similarity.SimilaritySearch.autoPlanes]] (floor 4) —
+    * a FIXED small r degenerates quietly at scale (candidate volume
+    * ~n²·L/2^(r+1), effectively quadratic past ~10⁵ vectors), the same way a
+    * fixed broadcast would, so the default self-sizes the way
+    * [[graft.operators.link.EntityLinker.link]] auto-degrades
+    * broadcast→shuffle. At the small-corpus floor (r=4, L=16) the
+    * moderate-similarity test corpus (cos ≈ 0.35-0.5 ⇒ per-bit agreement
+    * ≈ 0.63) computes recall ≈ 0.94; the asserted OpsSpec gate is ≥ 0.85.
+    * At auto-raised r, recall concentrates on the genuinely-near regime
+    * (cos ≥ 0.8 ⇒ per-bit agreement ≥ 0.8) — low-threshold callers at large
+    * n should raise numTables alongside.
     * [[bruteEmbeddingNearDup]] is the small-scale exact verifier.
     */
   def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, numTables: Int = 16, planesPerTable: Int = 4,
+      threshold: Double, numTables: Int = 16, planesPerTable: Int = 0,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     import graft.functions.VectorOps
-    import graft.operators.similarity.SimilaritySearch
     val e = emb.select(col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("v"))
-    val sigs = array((0 until numTables).map(tb =>
-      struct(lit(tb).as("tb"),
-        SimilaritySearch.lshSignature(col("v"), planesPerTable, dim, seed + tb).as("sig"))): _*)
-    val banded = e.select(col("id"), explode(sigs).as("b"))
-      .select(col("id"), col("b.tb").as("tb"), col("b.sig").as("sig"))
-    val pairs = banded.select(col("tb"), col("sig"), col("id").as("id_a"))
-      .join(banded.select(col("tb"), col("sig"), col("id").as("id_b")), Seq("tb", "sig"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct() // the same pair can collide in several tables
-    pairs
+    embeddingCandidates(e, numTables, planesPerTable, dim, seed)
       .join(e.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(e.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("cos", VectorOps.cosine(col("va"), col("vb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos") * 1000).cast("long").as("cos_pm"))
+  }
+
+  /** Candidate-pair stage of [[embeddingNearDup]] — (id_a, id_b) distinct,
+    * from shared (table, signature) buckets over `e` = (id, v:array<double>).
+    * Package-visible so tests can gate the candidate-volume growth rate
+    * directly (the scale property the auto-sized r exists to protect).
+    */
+  private[graft] def embeddingCandidates(e: DataFrame, numTables: Int,
+      planesPerTable: Int, dim: Int, seed: Long): DataFrame = {
+    import graft.operators.similarity.SimilaritySearch
+    val r =
+      if (planesPerTable > 0) planesPerTable
+      else SimilaritySearch.autoPlanes(e.count(), floor = 4)
+    val sigs = array((0 until numTables).map(tb =>
+      struct(lit(tb).as("tb"),
+        SimilaritySearch.lshSignature(col("v"), r, dim, seed + tb).as("sig"))): _*)
+    val banded = e.select(col("id"), explode(sigs).as("b"))
+      .select(col("id"), col("b.tb").as("tb"), col("b.sig").as("sig"))
+    banded.select(col("tb"), col("sig"), col("id").as("id_a"))
+      .join(banded.select(col("tb"), col("sig"), col("id").as("id_b")), Seq("tb", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // the same pair can collide in several tables
   }
 
   /** All-pairs exact cosine near-dup — O(n²), bounded inputs only: the

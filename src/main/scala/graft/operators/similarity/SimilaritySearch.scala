@@ -19,6 +19,23 @@ import org.apache.spark.sql.functions._
 object SimilaritySearch {
   import graft.functions.VectorOps.{asDouble, cosine, dot => dotD}
 
+  /** Signature width for a corpus of `n` vectors targeting ~`targetBucket`
+    * vectors per bucket: r = ceil(log2(n / targetBucket)), floored at the
+    * small-corpus default and capped at 24 bits. This is the scale rule the
+    * LSH operators apply when the caller doesn't pin a width — with a FIXED
+    * r, expected candidate volume is ~n²·L/2^(r+1): quadratic in corpus
+    * size, i.e. the 100 TB failure mode; with the auto rule bucket occupancy
+    * stays ~targetBucket and candidates stay ~n·L·targetBucket/2 — linear.
+    * Recall per genuinely-near pair (per-bit agreement p = 1 - θ/π) is
+    * 1-(1-p^r)^L: it decays as r grows for moderate-similarity pairs, so
+    * low-threshold callers at large n should raise numTables alongside.
+    */
+  def autoPlanes(n: Long, floor: Int, targetBucket: Long = 64L): Int = {
+    val buckets = math.max(1L, (n + targetBucket - 1) / targetBucket)
+    val r = 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1) // ceil(log2)
+    math.min(24, math.max(floor, r.toInt))
+  }
+
   /** Exact top-k neighbors for each query row. Queries must be small enough
     * to broadcast (typical: a probe batch). Returns
     * (query_id, neighbor_id, rank) — ranks only, no float columns, so
@@ -55,25 +72,30 @@ object SimilaritySearch {
     * ranked. Returns (query_id, neighbor_id, rank); approximate — a query
     * may return < k rows if its probed buckets are sparse. Tuning mirrors
     * banded LSH: recall grows with tables, candidate volume ∝
-    * corpus × tables / 2^planes — raise numPlanes with corpus size.
-    * Defaults (6 planes × 8 tables) give ≥0.8 top-3 recall on the
-    * moderate-similarity test corpus (gated in OpsSpec).
+    * corpus × tables / 2^planes. `numPlanes = 0` (the default) derives the
+    * width from a corpus count via [[autoPlanes]] (floor 6) so candidate
+    * volume stays linear in corpus size; pass an explicit width to pin it.
+    * The floor (6 planes × 8 tables) measures 0.87 top-3 recall on the
+    * moderate-similarity test corpus; the asserted OpsSpec gate is ≥ 0.6.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
-      k: Int, numPlanes: Int = 6, numTables: Int = 8, dim: Int = 64,
+      k: Int, numPlanes: Int = 0, numTables: Int = 8, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     val c0 = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else autoPlanes(c0.count(), floor = 6)
     val cSigs = array((0 until numTables).map(tb =>
       struct(lit(tb).as("tb"),
-        lshSignature(col("cv"), numPlanes, dim, seed + tb).as("bucket"))): _*)
+        lshSignature(col("cv"), planes, dim, seed + tb).as("bucket"))): _*)
     val c = c0.withColumn("b", explode(cSigs))
       .select(col("neighbor_id"), col("cv"), col("b.tb").as("tb"), col("b.bucket").as("bucket"))
     val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     // per table: the exact bucket plus all single-bit flips (unrolled —
     // shift amounts must be Scala Ints)
     val qProbes = array((0 until numTables).flatMap { tb =>
-      val sig = lshSignature(col("qv"), numPlanes, dim, seed + tb)
-      (sig +: (0 until numPlanes).map(r => sig.bitwiseXOR(lit(1L << r))))
+      val sig = lshSignature(col("qv"), planes, dim, seed + tb)
+      (sig +: (0 until planes).map(r => sig.bitwiseXOR(lit(1L << r))))
         .map(b => struct(lit(tb).as("tb"), b.as("bucket")))
     }: _*)
     val q = q0.withColumn("b", explode(qProbes))

@@ -75,6 +75,35 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.85, f"recall $recall%.3f")
   }
 
+  test("auto-sized LSH keeps per-doc candidate volume bounded on a 10x corpus") {
+    // autoPlanes: r = ceil(log2(n / targetBucket)), floored and capped
+    assert(SimilaritySearch.autoPlanes(500L, floor = 4) == 4)
+    assert(SimilaritySearch.autoPlanes(5000L, floor = 4) == 7)
+    assert(SimilaritySearch.autoPlanes(1L << 30, floor = 4, targetBucket = 64) == 24)
+
+    val dim = 16
+    def corpus(n: Int) = {
+      val rnd = new scala.util.Random(7)
+      (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian()))).toDF("id", "v")
+    }
+    def cands(df: org.apache.spark.sql.DataFrame, r: Int): Long =
+      Dedup.embeddingCandidates(df, numTables = 4, planesPerTable = r, dim = dim, seed = 42L).count()
+    val (small, big) = (corpus(500).cache(), corpus(5000).cache())
+    val perDocSmall = cands(small, 0).toDouble / 500
+    val perDocBig = cands(big, 0).toDouble / 5000
+    val bigFixedR = cands(big, 4) // yesterday's fixed default at 10x the corpus
+    info(f"candidates/doc: n=500 → $perDocSmall%.1f, n=5000 auto → $perDocBig%.1f, " +
+      f"n=5000 fixed r=4 → ${bigFixedR / 5000.0}%.1f")
+    // auto-sized r keeps bucket occupancy ~constant: per-doc candidates must
+    // not grow with corpus size (2.5x slack covers the floor binding at 500
+    // and hash variance) …
+    assert(perDocBig <= 2.5 * perDocSmall,
+      f"per-doc candidates grew $perDocSmall%.1f → $perDocBig%.1f on a 10x corpus")
+    // … whereas the old fixed r=4 is the quadratic failure mode (≈2^(7-4)=8x
+    // the auto volume at this size)
+    assert(bigFixedR >= 4L * cands(big, 0), "fixed-r should be >> auto at 10x")
+  }
+
   test("PNG decoder parses IHDR width/height from real bytes; non-PNG falls back to stub") {
     val withPng = Multimodal.withSyntheticPngPayload(docs, "doc_id")
     val decoded = Multimodal.decodeMeta(withPng, "payload", "doc_id").collect()
