@@ -274,6 +274,18 @@ object SparkEntry {
       g.edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     }),
 
+    // ---- streaming (SURVEY.md streaming surface): real Structured
+    // Streaming sessionization — readStream over the events parquet,
+    // flatMapGroupsWithState with EventTimeTimeout, foreachBatch to parquet,
+    // drained with Trigger.AvailableNow; oracle = DuckDB gaps-and-islands.
+    // 12h gap: the events table's median per-user inter-event gap is ~7.3h
+    // (p90 ~25h), so users produce several multi-event sessions. ----
+    "st_sessions" -> ((s, dir) =>
+      graft.streaming.Streaming.sessionizeParquetJob(s,
+        s"$dir/events.parquet",
+        s"${System.getProperty("java.io.tmpdir")}/graft-st-${math.abs(dir.hashCode)}",
+        gapSec = 43200L)),
+
     // ---- training-data ops: dedup ----
     "dd_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
@@ -443,6 +455,17 @@ object SparkEntry {
     "q18_remove_aliases" -> "SELECT n_nationkey, n_name FROM nation",
     "el_bench" ->
       "SELECT o_custkey AS src, COUNT(*) AS out_deg FROM orders GROUP BY o_custkey",
+
+    // gaps-and-islands: a session breaks where the per-user gap exceeds 12h;
+    // epoch_ms matches the engine's unix_millis (both truncate micros)
+    "st_sessions" ->
+      ("WITH m AS (SELECT user_id, epoch_ms(ts) AS tms, event_id FROM events), " +
+        "g AS (SELECT user_id, tms, event_id, CASE WHEN tms - lag(tms) OVER " +
+        "(PARTITION BY user_id ORDER BY tms, event_id) > 43200000 THEN 1 ELSE 0 END AS brk FROM m), " +
+        "s AS (SELECT user_id, tms, SUM(brk) OVER (PARTITION BY user_id ORDER BY tms, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS grp FROM g) " +
+        "SELECT user_id, MIN(tms) AS start_ms, MAX(tms) AS end_ms, COUNT(*) AS n_events " +
+        "FROM s GROUP BY user_id, grp"),
 
     "dd_exact" ->
       ("WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents) " +

@@ -107,6 +107,68 @@ object Streaming {
       }
   }
 
+  /** End-to-end streaming sessionization job over an events parquet table —
+    * the driver-gate surface for [[sessionizeStream]]: readStream →
+    * flatMapGroupsWithState → foreachBatch append to parquet, run to
+    * completion with Trigger.AvailableNow, then the closed sessions are read
+    * back. Deterministic and equal to batch gaps-and-islands sessionization
+    * because one SENTINEL event per user is appended a full gap past the
+    * global max event time: when the stream drains, every real session has
+    * been proven closed by a later event and emitted exactly once; the
+    * sentinel's own singleton session stays open in state and is discarded
+    * with the stream (and filtered by `session_start <= max real ts` for
+    * belt-and-braces). This is how a production run closes the books on a
+    * bounded replay without weakening the streaming semantics.
+    *
+    * Returns (user_id, start_ms, end_ms, n_events) with epoch-millisecond
+    * longs — integer-exact columns only, so the result is oracle-comparable
+    * (float sums stay out of the gate).
+    */
+  def sessionizeParquetJob(spark: org.apache.spark.sql.SparkSession,
+      eventsPath: String, workDir: String, gapSec: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val prepDir = s"$workDir/input"
+    val outDir = s"$workDir/sessions"
+    val ckDir = s"$workDir/ckpt"
+    val fs = new org.apache.hadoop.fs.Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(workDir), true)
+
+    // the parquet ts column is TIMESTAMP_NTZ; the session runs UTC, so the
+    // cast to (ltz) TIMESTAMP — what the Event encoder and unix_millis
+    // expect — is lossless
+    val events = spark.read.parquet(eventsPath)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val maxTsMs = events.agg(max(unix_millis(col("ts")))).as[Long].head()
+    // sentinel strictly more than gap + watermark past every real event
+    val sentinelMs = maxTsMs + gapSec * 1000L + 60000L
+    val sentinels = events.select(col("user_id")).distinct()
+      .select(lit(-1L).as("event_id"), timestamp_millis(lit(sentinelMs)).as("ts"),
+        col("user_id"), lit("__sentinel").as("event_type"), lit(0.0).as("value"))
+    events.unionByName(sentinels).write.parquet(prepDir)
+
+    val stream = spark.readStream.schema(events.schema).parquet(prepDir).as[Event]
+    val q = sessionizeStream(stream, gapSec)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Session], _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+
+    spark.read.parquet(outDir)
+      .where(unix_millis(col("session_start")) <= maxTsMs) // drop sentinel-born sessions
+      .select(col("user_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"),
+        col("n_events"))
+  }
+
   /** Watermarked tumbling-window aggregation (the canonical streaming agg):
     * events per (window, event_type) with counts and value sums.
     */

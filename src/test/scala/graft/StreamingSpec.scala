@@ -93,6 +93,24 @@ class StreamingSpec extends SparkTestBase {
     assert(!sessions.exists(_._1 == 2L), s"user 2's session is still open: $sessions")
   }
 
+  test("sessionizeParquetJob == batch sessionize on the sf0.001 events table") {
+    val eventsPath = "/root/testdata/sf0.001/events.parquet"
+    val gapSec = 43200L
+    val got = Streaming.sessionizeParquetJob(spark, eventsPath,
+      tmpDir("graft-st-job"), gapSec)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val events = spark.read.parquet(eventsPath)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val expect = Streaming.sessionize(events, gapSec).collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events))
+      .toSet
+    assert(got.nonEmpty && got == expect,
+      s"stream/batch sessionization diverged: extra=${got.diff(expect).take(3)} " +
+        s"missing=${expect.diff(got).take(3)}")
+  }
+
   test("streaming windowed aggregation over a file source (memory sink)") {
     val dir = tmpDir("graft-stream")
     val events = Seq(
