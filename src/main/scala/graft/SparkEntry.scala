@@ -166,6 +166,17 @@ object SparkEntry {
       val closed = pm.expandInto(hop2, "n", "b", Set("BASED_IN"))
       closed.select(col("n_name"), col("a_name"), col("b_name")).distinct()
     }),
+    // Driving-table entry (reference api/MemCypherSession.scala:70-71):
+    // seed the pattern from a prior result — Customer nodes whose name ends
+    // in '5' — instead of a full NodeScan, then expand LIVES_IN.
+    "kg_match_driving" -> ((s, dir) => {
+      val pm = kgPattern(s, dir)
+      val driving = kgGraph(s, dir).nodes
+        .where(array_contains(col("labels"), "Customer") && col("name").like("%5"))
+        .select(col("id").as("seed_id"))
+      val hop = pm.expand(pm.from(driving, "n", "seed_id"), "n", "a", Set("LIVES_IN"))
+      hop.select(col("n_name"), col("a_name")).distinct()
+    }),
     // Demo shape (reference apps/Demo.scala:31-42): label scan + project +
     // ORDER BY over node properties.
     "kg_match_demo" -> ((s, dir) =>
@@ -298,6 +309,14 @@ object SparkEntry {
     "dd_simhash" -> ((s, dir) =>
       Dedup.simhashCandidates(t(s, dir, "documents").where(col("doc_id") < 300),
         "text", "doc_id", maxHamming = 6)),
+    // uncapped variants over the WHOLE documents table (rows-only — the
+    // O(n²) DuckDB shingle-join oracle can't follow): these exercise
+    // realistic candidate volumes so banding regressions surface in BENCH
+    // timings even though the capped entries above stay hash-gated
+    "dd_minhash_full" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id", threshold = 0.2)),
+    "dd_simhash_full" -> ((s, dir) =>
+      Dedup.simhashCandidates(t(s, dir, "documents"), "text", "doc_id", maxHamming = 6)),
     // banded hyperplane-LSH self-join over the FULL embeddings table (no id
     // cap): candidates from shared (table, signature) buckets, exact-cosine
     // verified; recall vs brute is gated in OpsSpec
@@ -403,6 +422,9 @@ object SparkEntry {
     "kg_match_demo" ->
       (s"WITH b AS ($B) SELECT n_name AS name, CAST(2*COUNT(*) AS BIGINT) AS n_mentions " +
         "FROM b GROUP BY n_name"),
+    // driving table = customers with names ending in '5'; expand LIVES_IN
+    "kg_match_driving" ->
+      s"WITH b AS ($B) SELECT DISTINCT c_name AS n_name, n_name AS a_name FROM b WHERE c_name LIKE '%5'",
 
     "q01_scan_filter" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_quantity > 45",

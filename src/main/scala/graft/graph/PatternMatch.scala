@@ -32,6 +32,19 @@ final case class PatternMatch(nodes: DataFrame, edges: DataFrame) {
     prefixed(nodes.where(pred), v)
   }
 
+  /** Driving-table entry (reference: api/MemCypherSession.scala:70-71 —
+    * `cypher(query, parameters, drivingTable)`): seed the pattern from an
+    * EXISTING DataFrame — typically a prior query result or an external
+    * id list — instead of a full NodeScan. `input(idCol)` must hold node
+    * ids; the node's columns are bound as `v_*` and every other input
+    * column rides along (the reference's driving-table columns do the
+    * same). Query parameters have no separate plumbing here by design:
+    * patterns are programmatic, so ordinary Scala arguments/closures are
+    * the parameter surface.
+    */
+  def from(input: DataFrame, v: String, idCol: String): DataFrame =
+    input.join(scan(v), input(idCol) === col(s"${v}_id"))
+
   /** Expand: from bound `from`, traverse edges (restricted to `relTypes` if
     * nonempty — the reference's typeRelMap pruning) to a new variable `to`.
     * The relationship's columns are bound as `relVar_*` when given.

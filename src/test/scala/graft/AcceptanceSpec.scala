@@ -65,6 +65,21 @@ class AcceptanceSpec extends SparkTestBase {
     assert(res.toSeq == Seq(3))
   }
 
+  test("driving table seeds a pattern and its columns ride along " +
+    "(reference api/MemCypherSession.scala:70-71 cypher(..., drivingTable))") {
+    // a "prior result": two seed persons with an extra payload column
+    val driving = Seq((0L, "seedA"), (3L, "seedB")).toDF("seed_id", "tag")
+    val bound = demo.from(driving, "n", "seed_id")
+    // seeds bind node columns under n_* without a full NodeScan
+    assert(bound.select("n_name").as[String].collect().toSet == Set("Alice", "Dave"))
+    // and expand continues from the driving rows only
+    val res = demo.expand(bound, "n", "m", Set("KNOWS"))
+      .select(col("tag"), col("n_name"), col("m_name"))
+      .as[(String, String, String)].collect().toSet
+    assert(res == Set(("seedA", "Alice", "Bob"), ("seedB", "Dave", "Carol")),
+      s"got $res")
+  }
+
   test("benchmark query shape: MATCH (n)-->(m) RETURN n (bag semantics)") {
     val res = demo.expand(demo.scan("n"), "n", "m").select("n_id")
     assert(res.count() == 24) // one row per relationship, duplicates kept
