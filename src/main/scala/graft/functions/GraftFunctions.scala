@@ -140,11 +140,23 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_fnv64", es => Fnv64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_fingerprint", es => RollingFingerprint(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_hyperplane_sig", es =>
-      HyperplaneSig(es.head,
-        es(1).eval().asInstanceOf[Int],
-        es(2).eval().asInstanceOf[Int],
-        es(3).eval().asInstanceOf[Long]), "built-in")
+    reg.createOrReplaceTempFunction("graft_hyperplane_sig", es => {
+      // SQL callers pass integer literals (IntegerType); Column callers pass
+      // lit(Long) — accept any foldable numeric and coerce, instead of a
+      // ClassCastException from a blind asInstanceOf
+      def num(i: Int, what: String): Number = {
+        val e = es(i)
+        if (!e.foldable) throw new IllegalArgumentException(
+          s"graft_hyperplane_sig: argument $what must be a literal, got non-foldable ${e.sql}")
+        e.eval() match {
+          case n: Number => n
+          case other => throw new IllegalArgumentException(
+            s"graft_hyperplane_sig: argument $what must be numeric, got $other")
+        }
+      }
+      HyperplaneSig(es.head, num(1, "numPlanes").intValue(),
+        num(2, "dim").intValue(), num(3, "seed").longValue())
+    }, "built-in")
   }
   private def ensure(): Unit = SparkSession.getActiveSession.foreach(register)
   def fnv64(c: Column): Column = { ensure(); call_function("graft_fnv64", c) }

@@ -22,19 +22,28 @@ object Canonicalize {
     * resolution observed in the linked triples, plus the dictionary's own
     * (alias id ↔ canonical id) star so unseen alias variants still cluster.
     */
-  def aliasEdges(linked: Dataset[LinkedTriple], dict: DataFrame): DataFrame = {
+  def aliasEdges(linked: Dataset[LinkedTriple], dict: DataFrame): DataFrame =
+    surfaceEdges(linked)
+      .unionByName(dictSeeds(dict).select(col("id").as("src"), col("root").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+
+  /** The iteration-worthy part of the alias graph: resolutions observed in
+    * the linked triples (surface id ↔ resolved id).
+    */
+  def surfaceEdges(linked: Dataset[LinkedTriple]): DataFrame = {
     val l = linked.toDF()
     def sideEdges(idCol: String, nameCol: String): DataFrame =
       l.select(GraftFunctions.fnv64(lower(trim(col(nameCol)))).as("src"), col(idCol).as("dst"))
-    val fromTriples = sideEdges("subj_id", "subj_name")
-      .unionByName(sideEdges("obj_id", "obj_name"))
-    val fromDict = dict.select(
-      GraftFunctions.fnv64(col("alias")).as("src"),
-      col("canonical_id").cast("long").as("dst"))
-    fromTriples.unionByName(fromDict)
-      .where(col("src") =!= col("dst"))
-      .distinct()
+    sideEdges("subj_id", "subj_name").unionByName(sideEdges("obj_id", "obj_name"))
   }
+
+  /** The dictionary's alias→canonical stars as CC seeds — depth-1 components
+    * known before any iteration.
+    */
+  def dictSeeds(dict: DataFrame): DataFrame = dict.select(
+    GraftFunctions.fnv64(col("alias")).as("id"),
+    col("canonical_id").cast("long").as("root"))
 
   /** (id, name, is_dict) for every id the pipeline has seen — the name pool
     * canonical representatives are chosen from.
@@ -72,8 +81,16 @@ object Canonicalize {
   def apply(linked: Dataset[LinkedTriple], dict: DataFrame): Dataset[CanonTriple] = {
     val spark = linked.sparkSession
     import spark.implicits._
-    val edges = aliasEdges(linked, dict)
-    val comps = ConnectedComponents.run(edges)
+    // the dictionary stars — the bulk of the alias graph's edges — are
+    // contracted before iteration (runSeeded); CC rounds touch only the
+    // surface-residual edges, a per-round volume cut that matters once the
+    // dictionary outgrows the per-round fixed cost. GRAFT_CANON_SEEDED=0 is
+    // the A/B escape hatch back to whole-graph iteration.
+    val comps =
+      if (sys.env.get("GRAFT_CANON_SEEDED").contains("0"))
+        ConnectedComponents.run(aliasEdges(linked, dict))
+      else
+        ConnectedComponents.runSeeded(surfaceEdges(linked), dictSeeds(dict))
     val cmap = canonMap(comps, idNames(linked, dict))
     rewrite(linked, cmap)
   }

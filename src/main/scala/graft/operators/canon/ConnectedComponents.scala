@@ -61,6 +61,83 @@ object ConnectedComponents {
       .groupBy("id").agg(min("component").as("component"))
   }
 
+  /** CC where part of the graph is KNOWN a priori to be depth-1 stars:
+    * `seeds` (id, root) pins each seeded id into its root's component with
+    * zero iteration. This is the pipeline's dictionary shape — the
+    * alias→canonical stars dominate the alias graph's edge volume but
+    * contribute nothing to the iterative fixpoint (they are already stars),
+    * so they are contracted BEFORE iteration: every edge endpoint is
+    * rewritten through the seed map, [[run]] iterates on the residual graph
+    * only (surface↔entity edges the dictionary didn't pre-resolve), and
+    * seeded ids inherit their root's final component afterwards.
+    *
+    * Robustness (correctness never depends on the seed map being a clean
+    * function):
+    *  - an id seeded to several roots keeps its min root; the other roots
+    *    are joined in with root–root bridge edges;
+    *  - a seed whose root is ITSELF a seeded id (root chains, e.g. a
+    *    canonical name colliding with another entry's alias) is demoted to
+    *    an ordinary edge and iterated like any other.
+    *
+    * Component labels are mins over the CONTRACTED id space — a consistent
+    * partition identical to `run(edges ∪ seed-star-edges)`, but label
+    * VALUES can differ (a contracted alias id may undercut every root), so
+    * callers must treat `component` as an opaque grouping key
+    * ([[graft.operators.canon.Canonicalize]] does).
+    */
+  def runSeeded(edges: DataFrame, seeds: DataFrame, maxIter: Int = 40): DataFrame = {
+    val sd = seeds.select(col("id").cast("long"), col("root").cast("long"))
+      .where(col("id") =!= col("root"))
+      .distinct()
+    val minRoot = sd.groupBy("id").agg(min("root").as("root"))
+    // multi-root ids: their non-min roots must still end up connected
+    val bridges = sd.join(minRoot.select(col("id"), col("root").as("mroot")), Seq("id"))
+      .where(col("root") =!= col("mroot"))
+      .select(col("root").as("src"), col("mroot").as("dst"))
+    val keys = minRoot.select(col("id"))
+    val contract = minRoot
+      .join(keys.withColumnRenamed("id", "root"), Seq("root"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val demoted = minRoot
+      .join(keys.withColumnRenamed("id", "root"), Seq("root"), "left_semi")
+      .select(col("id").as("src"), col("root").as("dst"))
+    def subst(e: DataFrame, side: String): DataFrame =
+      e.join(contract.select(col("id").as(side), col("root").as(s"${side}_r")),
+          Seq(side), "left_outer")
+        .select((if (side == "src")
+          Seq(coalesce(col("src_r"), col("src")).as("src"), col("dst"))
+        else
+          Seq(col("src"), coalesce(col("dst_r"), col("dst")).as("dst"))): _*)
+    // distinct BEFORE substitution: the input edge list is typically
+    // stream-sized with vocabulary-sized distinct support (one row per
+    // observed resolution), so deduping first keeps the two subst joins on
+    // the small side — the same single full-stream shuffle the unseeded
+    // aliasEdges path paid
+    val input = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst")).distinct()
+      .unionByName(bridges).unionByName(demoted)
+    val residual = subst(subst(input, "src"), "dst")
+      .where(col("src") =!= col("dst"))
+    val comp = run(residual, maxIter)
+    // contracted ids inherit their root's component; a root untouched by any
+    // residual edge anchors its own star — and must itself appear in the
+    // output (run()'s contract: every id of the composed graph is covered)
+    val compByRoot = comp.select(col("id").as("root"), col("component"))
+    val rootComp = contract
+      .join(compByRoot, Seq("root"), "left_outer")
+      .select(col("id"), coalesce(col("component"), col("root")).as("component"))
+    val rootRows = contract.select(col("root")).distinct()
+      .join(compByRoot, Seq("root"), "left_outer")
+      .select(col("root").as("id"), coalesce(col("component"), col("root")).as("component"))
+      .unionByName(rootComp)
+    // contract stays persisted: the returned plan still references it via
+    // rootRows, and it is entity-dictionary-sized (evicted LRU if memory is
+    // ever tight) — unpersisting here would recompute it per downstream
+    // action instead
+    comp.unionByName(rootRows)
+      .groupBy("id").agg(min("component").as("component"))
+  }
+
   /** Convenience: include isolated vertices from a full vertex list. */
   def runWithVertices(vertices: DataFrame, edges: DataFrame, maxIter: Int = 40): DataFrame = {
     val comp = run(edges, maxIter)

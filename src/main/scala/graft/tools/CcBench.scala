@@ -37,6 +37,27 @@ object CcBench {
     time(s"stars n=$n")(ConnectedComponents.run(stars).count())
     time(s"chains(100) n=$n")(ConnectedComponents.run(chains).count())
     time(s"random n=$n")(ConnectedComponents.run(rand).count())
+
+    // the pipeline's real shape: FLAT dictionary stars (roots disjoint from
+    // member ids, as canonical ids are from alias ids) + a 10%-sized random
+    // residual — run() iterates over everything, runSeeded() contracts the
+    // stars up front and iterates on the residual only
+    val residual = spark.range(n / 10).select(
+      pmod(xxhash64(col("id"), lit(3)), lit(n / 5)).as("src"),
+      pmod(xxhash64(col("id"), lit(5)), lit(n / 5)).as("dst"))
+    val flatStars = spark.range(n).select(
+      (lit(10L * n) + (col("id") / 5).cast("long")).as("src"), col("id").as("dst"))
+    time(s"flat-stars+residual run n=$n")(
+      ConnectedComponents.run(flatStars.unionByName(residual)).count())
+    time(s"flat-stars+residual SEEDED n=$n")(
+      ConnectedComponents.runSeeded(residual,
+        flatStars.select(col("dst").as("id"), col("src").as("root"))).count())
+    // adversarial seeds: the (id/5, id) stars CHAIN (a root is itself a
+    // seeded id), so runSeeded demotes nearly every seed back to an edge —
+    // the honest no-win case: correctness holds, contraction buys nothing
+    val chainedSeeds = stars.select(col("dst").as("id"), col("src").as("root"))
+    time(s"chained-stars+residual SEEDED (demotion path) n=$n")(
+      ConnectedComponents.runSeeded(residual, chainedSeeds).count())
     spark.stop()
   }
 }

@@ -64,6 +64,35 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("runSeeded partitions ids exactly like run on the composed graph " +
+    "(multi-root seeds, chained seeds, untouched stars)") {
+    val rnd = new Random(11)
+    // residual graph: random edges over surface/entity ids 0..59
+    val edges = (0 until 150).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    // dictionary stars: alias ids 1000.. seeded to roots 0..19, some aliases
+    // with MULTIPLE roots (bridge case)
+    val seeds = (0 until 200).map(i => (1000L + i % 150, rnd.nextInt(20).toLong)) ++
+      // a star whose root no residual edge ever touches (solitary star)
+      (0 until 5).map(i => (2000L + i, 500L)) ++
+      // chained seeds: an id seeded to a root that is itself a seeded id
+      Seq((3000L, 1000L), (3001L, 3000L))
+    val seedEdges = seeds.filter(s => s._1 != s._2)
+    val full = edges ++ seedEdges
+    def partition(m: Map[Long, Long]): Set[Set[Long]] =
+      m.groupBy(_._2).values.map(_.keySet.toSet).toSet
+    val plain = ConnectedComponents.run(full.toDF("src", "dst")).as[(Long, Long)]
+      .collect().toMap
+    val seeded = ConnectedComponents.runSeeded(
+      edges.toDF("src", "dst"), seeds.toDF("id", "root")).as[(Long, Long)]
+      .collect().toMap
+    // labels may differ (mins over the contracted id space) — the PARTITION
+    // must be identical
+    assert(seeded.keySet == plain.keySet,
+      s"id cover differs: ${seeded.keySet.diff(plain.keySet).take(5)} / ${plain.keySet.diff(seeded.keySet).take(5)}")
+    assert(partition(seeded) == partition(plain))
+  }
+
   test("runWithVertices includes isolated vertices as their own component") {
     val vertices = Seq(1L, 2L, 3L, 99L).toDF("id")
     val edges = Seq((1L, 2L)).toDF("src", "dst")
