@@ -19,6 +19,12 @@ object Capabilities {
   val supported: Set[String] = Set(
     // reference operator algebra (SURVEY.md §2.1)
     "start_unit_table",
+    // driving-table entry: seed a pattern from an existing DataFrame
+    // (reference api/MemCypherSession.scala:70-71 cypher(..., drivingTable))
+    "driving_table",
+    // string-query entry for the reference's own MATCH fragment
+    // (api/MemCypherSession.scala:76; parser = graph/CypherLite.scala)
+    "cypher_match_subset",
     "node_scan_label_pruned",
     "rel_scan_type_pruned",
     "alias",
@@ -84,7 +90,11 @@ object Capabilities {
     "mutation_merge",
     "mutation_set",
     "mutation_delete",
-    "cypher_string_parser", // north rule: NOT a port — patterns are programmatic
+    // round 3: the MATCH fragment the reference's own tests/apps exercise IS
+    // supported as a string entry (CypherLite, `cypher_match_subset`); the
+    // FULL openCypher grammar stays out — patterns are programmatic per the
+    // north rule, and CypherLite rejects anything beyond its fragment
+    "cypher_full_grammar",
     "multimodal_decode_jpeg", // stubbed: no codec in this container
     "multimodal_decode_webp")
 }

@@ -177,6 +177,13 @@ object SparkEntry {
       val hop = pm.expand(pm.from(driving, "n", "seed_id"), "n", "a", Set("LIVES_IN"))
       hop.select(col("n_name"), col("a_name")).distinct()
     }),
+    // String-query entry (reference api/MemCypherSession.scala:76): the
+    // MATCH fragment the reference's own tests exercise, parsed by
+    // CypherLite into the same scan/expand plan Catalyst optimizes.
+    "kg_cypher" -> ((s, dir) =>
+      graft.graph.CypherLite.run(kgPattern(s, dir),
+        "MATCH (n:Customer)-[:LIVES_IN]->(a) WHERE a.name IS NOT NULL " +
+          "RETURN DISTINCT n.name AS n_name, a.name AS a_name")),
     // Demo shape (reference apps/Demo.scala:31-42): label scan + project +
     // ORDER BY over node properties.
     "kg_match_demo" -> ((s, dir) =>
@@ -425,6 +432,9 @@ object SparkEntry {
     // driving table = customers with names ending in '5'; expand LIVES_IN
     "kg_match_driving" ->
       s"WITH b AS ($B) SELECT DISTINCT c_name AS n_name, n_name AS a_name FROM b WHERE c_name LIKE '%5'",
+    // the CypherLite string query resolves to the same distinct 1-hop join
+    "kg_cypher" ->
+      s"WITH b AS ($B) SELECT DISTINCT c_name AS n_name, n_name AS a_name FROM b",
 
     "q01_scan_filter" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_quantity > 45",

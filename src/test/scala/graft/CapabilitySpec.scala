@@ -20,7 +20,8 @@ class CapabilitySpec extends AnyFunSuite {
 
   test("supported capability set is pinned (drift requires a two-file edit)") {
     val pinned = Set(
-      "start_unit_table", "node_scan_label_pruned", "rel_scan_type_pruned",
+      "start_unit_table", "driving_table", "cypher_match_subset",
+      "node_scan_label_pruned", "rel_scan_type_pruned",
       "alias", "project", "select_fields", "drop", "remove_aliases",
       "filter_three_valued", "distinct", "aggregate", "order_by", "limit",
       "join_inner", "join_left_outer", "join_right_outer", "join_left_anti",
@@ -41,7 +42,7 @@ class CapabilitySpec extends AnyFunSuite {
     val pinned = Set(
       "var_length_expand", "optional_match", "shortest_path", "skip",
       "graph_union_all", "mutation_create", "mutation_merge", "mutation_set",
-      "mutation_delete", "cypher_string_parser", "multimodal_decode_jpeg",
+      "mutation_delete", "cypher_full_grammar", "multimodal_decode_jpeg",
       "multimodal_decode_webp")
     assert(Capabilities.unsupported == pinned,
       s"unsupported drifted: +${Capabilities.unsupported -- pinned} -${pinned -- Capabilities.unsupported}")
@@ -58,7 +59,7 @@ class CapabilitySpec extends AnyFunSuite {
         "productPrefix", "productElement", "productIterator",
         "productElementName", "productElementNames", "canEqual").contains(n))
       .toSet
-    assert(declared == Set("scan", "expand", "expandInto"),
+    assert(declared == Set("scan", "from", "expand", "expandInto"),
       s"PatternMatch surface drifted: $declared — update Capabilities + this pin if intentional")
   }
 
@@ -71,6 +72,9 @@ class CapabilitySpec extends AnyFunSuite {
   test("driver contract covers the query-shaped supported capabilities") {
     val queryFor = Map(
       "start_unit_table" -> "q17_unit_start",
+      "driving_table" -> "kg_match_driving",
+      "cypher_match_subset" -> "kg_cypher",
+      "streaming_sessionize" -> "st_sessions",
       "node_scan_label_pruned" -> "kg_match_demo",
       "rel_scan_type_pruned" -> "kg_match_2hop",
       "remove_aliases" -> "q18_remove_aliases",
