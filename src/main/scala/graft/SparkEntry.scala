@@ -138,6 +138,18 @@ object SparkEntry {
       comps.join(idName, "id").join(canon, "component")
         .select(col("member"), col("canon")).distinct()
     }),
+    // skew-safe salted aggregation (operators/Salting.scala) under the
+    // oracle gate: exact per-entity mention counts + deterministic bounded
+    // conv_id samples — the collect-style payload whose buffer would grow
+    // with hub-entity group size without the salt+window bound
+    "kg_salted_mentions" -> ((s, dir) => {
+      val m = Extract.mentions(TpchKg.turns(s, dir), TpchKg.gazetteer(s, dir))
+        .select(col("norm"), col("conv_id"))
+      graft.operators.Salting.saltedAgg(m, Seq("norm"), Seq("conv_id"),
+          salts = 8, samplePerKey = 5)
+        .select(col("norm"), col("n_mentions"),
+          concat_ws(",", col("sample_conv_ids")).as("sample_ids"))
+    }),
     "kg_nodes" -> ((s, dir) =>
       kgGraph(s, dir).nodes
         .select(col("name"), element_at(col("labels"), 1).as("label"), col("n_mentions"))),
@@ -303,6 +315,32 @@ object SparkEntry {
         s"$dir/events.parquet",
         s"${System.getProperty("java.io.tmpdir")}/graft-st-${math.abs(dir.hashCode)}",
         gapSec = 43200L)),
+    // streaming windowed aggregation under the gate: readStream over the
+    // events parquet, watermarked tumbling window, complete-mode memory sink
+    // drained with AvailableNow — counts only (float sums stay out of the
+    // hash compare; q14 gates decimal sums on the batch path)
+    "st_windowed" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the events table is a single parquet FILE; the file stream source
+      // only lists directories, so stage it (one filesystem copy, no Spark
+      // rewrite) into a per-sf temp dir
+      val streamDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft-stw-${math.abs(dir.hashCode)}")
+      java.nio.file.Files.createDirectories(streamDir)
+      val staged = streamDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(staged))
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+        .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+      val name = "st_windowed_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.Streaming.windowedCounts(stream, "1 hour", "10 seconds")
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(unix_timestamp(col("window_start")).as("hour_sec"),
+          col("event_type"), col("n"))
+    }),
 
     // ---- training-data ops: dedup ----
     "dd_exact" -> ((s, dir) =>
@@ -409,6 +447,22 @@ object SparkEntry {
         "UNION SELECT r_name FROM region), " +
         "v AS (SELECT name, unnest([name, lower(name), upper(name)]) AS member FROM e) " +
         "SELECT DISTINCT member, least(name, lower(name), upper(name)) AS canon FROM v"),
+    // salted agg ≡ plain distinct-sample + count: DuckDB recomputes the
+    // bounded sample as the first 5 distinct conv_ids in sorted order
+    "kg_salted_mentions" ->
+      (s"WITH b AS ($B), m AS (SELECT conv_id, norm FROM (" +
+        "SELECT conv_id, lower(c_name) AS norm FROM b " +
+        "UNION ALL SELECT conv_id, lower(c_name) FROM b " +
+        "UNION ALL SELECT conv_id, lower(n_name) FROM b " +
+        "UNION ALL SELECT conv_id, lower(n_name) FROM b " +
+        "UNION ALL SELECT conv_id, lower(r_name) FROM b " +
+        "UNION ALL SELECT conv_id, lower(c_name) FROM b " +
+        "UNION ALL SELECT conv_id, lower(r_name) FROM b)), " +
+        "d AS (SELECT DISTINCT norm, conv_id FROM m), " +
+        "s AS (SELECT norm, array_to_string(list_slice(list(conv_id ORDER BY conv_id), 1, 5), ',') AS sample_ids " +
+        "FROM d GROUP BY norm), " +
+        "c AS (SELECT norm, COUNT(*) AS n_mentions FROM m GROUP BY norm) " +
+        "SELECT c.norm, c.n_mentions, s.sample_ids FROM c JOIN s USING (norm)"),
     "kg_nodes" ->
       (s"WITH b AS ($B) SELECT name, label, n_mentions FROM (" +
         "SELECT c_name AS name, 'Customer' AS label, CAST(2 AS BIGINT) AS n_mentions FROM b " +
@@ -498,6 +552,9 @@ object SparkEntry {
         "ROWS UNBOUNDED PRECEDING) AS grp FROM g) " +
         "SELECT user_id, MIN(tms) AS start_ms, MAX(tms) AS end_ms, COUNT(*) AS n_events " +
         "FROM s GROUP BY user_id, grp"),
+    "st_windowed" ->
+      ("SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_sec, event_type, " +
+        "COUNT(*) AS n FROM events GROUP BY 1, 2"),
 
     "dd_exact" ->
       ("WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents) " +

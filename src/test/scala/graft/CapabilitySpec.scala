@@ -75,6 +75,7 @@ class CapabilitySpec extends AnyFunSuite {
       "driving_table" -> "kg_match_driving",
       "cypher_match_subset" -> "kg_cypher",
       "streaming_sessionize" -> "st_sessions",
+      "streaming_windowed_agg" -> "st_windowed",
       "node_scan_label_pruned" -> "kg_match_demo",
       "rel_scan_type_pruned" -> "kg_match_2hop",
       "remove_aliases" -> "q18_remove_aliases",
