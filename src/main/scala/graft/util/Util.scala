@@ -66,7 +66,12 @@ object Sessions {
     * (BASELINE.md): same job at local[8] vs local[32].
     */
   def local(cores: Int, shufflePartitions: Int = -1, appName: String = "graft"): SparkSession = {
-    val sp = if (shufflePartitions > 0) shufflePartitions else cores
+    // default: shuffle partitions = cores × GRAFT_SHUFFLE_FACTOR (default 1).
+    // A factor > 1 trades scheduling overhead for straggler/tail balance —
+    // AQE still coalesces small exchanges, so the factor mainly bounds the
+    // LARGEST task of skew-prone stages
+    val factor = sys.env.getOrElse("GRAFT_SHUFFLE_FACTOR", "1").toInt
+    val sp = if (shufflePartitions > 0) shufflePartitions else cores * factor
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
