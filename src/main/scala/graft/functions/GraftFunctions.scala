@@ -130,6 +130,61 @@ object HyperplaneSig {
   }
 }
 
+/** 64-bit SimHash over whitespace tokens as ONE native codegen expression:
+  * bit j of the result is the sign of Σ over tokens of (xxhash64(token) has
+  * bit j ? +1 : -1). Bit-identical to the declarative formula
+  * `(0 until 64).map(j => aggregate(transform(split(text," "), xxhash64), …))`
+  * — which embeds the token-hash subtree into all 64 bit lambdas (split +
+  * hash evaluated 64× per row) and walks the token array 64 times. Here:
+  * one pass, one token buffer, zero array allocations per bit.
+  * Token hashing reuses Spark's own XXH64 (seed 42, the xxhash64 default)
+  * so signatures stay comparable with any column-level xxhash64 derivation.
+  */
+case class Simhash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Simhash64.compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Simhash64.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash"
+}
+
+object Simhash64 {
+  /** Static entry point shared by interpreted eval and generated code.
+    * Tokenization matches Spark's `split(text, " ")` (regex single space,
+    * limit -1: interior AND trailing empty tokens kept — Java's 1-arg
+    * split drops trailing empties, so the limit matters for parity).
+    */
+  def compute(s: UTF8String): Long = {
+    val toks = s.toString.split(" ", -1)
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val u = UTF8String.fromString(toks(t))
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
 /** Session-level registration; exposes the expressions as [[Column]]
   * functions via the public `call_function` resolver. The Column helpers
   * self-register against the active session, so call sites never depend on
@@ -140,6 +195,7 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_fnv64", es => Fnv64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_fingerprint", es => RollingFingerprint(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash", es => Simhash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_hyperplane_sig", es => {
       // SQL callers pass integer literals (IntegerType); Column callers pass
       // lit(Long) — accept any foldable numeric and coerce, instead of a
@@ -161,6 +217,7 @@ object GraftFunctions {
   private def ensure(): Unit = SparkSession.getActiveSession.foreach(register)
   def fnv64(c: Column): Column = { ensure(); call_function("graft_fnv64", c) }
   def fingerprint(c: Column): Column = { ensure(); call_function("graft_fingerprint", c) }
+  def simhash64(c: Column): Column = { ensure(); call_function("graft_simhash", c) }
   def hyperplaneSig(c: Column, numPlanes: Int, dim: Int, seed: Long): Column = {
     ensure()
     call_function("graft_hyperplane_sig", c, lit(numPlanes), lit(dim), lit(seed))

@@ -100,9 +100,20 @@ object Dedup {
   }
 
   /** 64-bit SimHash over token hashes: bit j of the signature is the sign of
-    * sum over tokens of (token has bit j ? +1 : -1).
+    * sum over tokens of (token has bit j ? +1 : -1). One native codegen
+    * expression ([[graft.functions.Simhash64]]) — single pass over the
+    * tokens; see [[simhashDeclarative]] for the formula it is bit-identical
+    * to.
     */
-  def simhash(textCol: Column): Column = {
+  def simhash(textCol: Column): Column = GraftFunctions.simhash64(textCol)
+
+  /** The same SimHash as a declarative column formula — kept as the parity
+    * oracle for the native expression (OpsSpec). NOT for production use:
+    * each of the 64 bit lambdas embeds its own copy of the token-hash
+    * subtree, so split + hash evaluate 64× per row and the token array is
+    * traversed once per bit.
+    */
+  def simhashDeclarative(textCol: Column): Column = {
     val hashes = transform(split(textCol, " "), t => xxhash64(t))
     // unrolled per bit (shift amounts must be Scala Ints); disjoint bits are
     // combined with OR — overflow-free under ANSI mode

@@ -39,6 +39,17 @@ class OpsSpec extends SparkTestBase {
     assert(truth.subsetOf(cand), s"missed: ${truth.diff(cand)}")
   }
 
+  test("native simhash == declarative 64-lambda formula, bit for bit") {
+    val texts = docs.select("text").as[String].collect().toSeq ++
+      Seq("", " ", "a", "a b  c ", "trailing space ")
+    val df = texts.toDF("text")
+    val got = df.select(Dedup.simhash(col("text")),
+      Dedup.simhashDeclarative(col("text"))).as[(Long, Long)].collect()
+    got.zip(texts).foreach { case ((native, decl), t) =>
+      assert(native == decl, s"simhash diverged on '$t'")
+    }
+  }
+
   test("simhash: identical docs share signatures; near-dups are close") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
       .as[(Long, Long)].collect().toMap
