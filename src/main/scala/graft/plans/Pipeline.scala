@@ -68,6 +68,12 @@ object Pipeline {
     }
   }
 
+  /** Canonical stage order for metrics — concurrent stage pairs complete in
+    * nondeterministic order, the report shouldn't.
+    */
+  private val StageOrder = Seq("transcripts", "mentions", "triples", "linked",
+    "canon", "nodes", "edges").zipWithIndex.toMap
+
   def run(spark: SparkSession, cfg: Config): Result = {
     import spark.implicits._
     GraftFunctions.register(spark)
@@ -88,12 +94,16 @@ object Pipeline {
           val df = TableIO.read(spark, dir)
           // row count comes from the committed manifest — resumed runs keep
           // real counts in metrics instead of clobbering them with -1
-          stages += StageRun(name, TableIO.currentRowCount(dir).getOrElse(-1L), 0L, resumed = true)
+          stages.synchronized {
+            stages += StageRun(name, TableIO.currentRowCount(dir).getOrElse(-1L), 0L, resumed = true)
+          }
           df
         } else {
           val t0 = System.nanoTime()
           val snap = TableIO.write(compute, dir, name, partitionBy)
-          stages += StageRun(name, snap.rows, (System.nanoTime() - t0) / 1000000, resumed = false)
+          stages.synchronized {
+            stages += StageRun(name, snap.rows, (System.nanoTime() - t0) / 1000000, resumed = false)
+          }
           TableIO.read(spark, dir)
         }
       } else {
@@ -116,9 +126,28 @@ object Pipeline {
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         }
         val rows = df.count()
-        stages += StageRun(name, rows, (System.nanoTime() - t0) / 1000000, resumed = false)
+        stages.synchronized {
+          stages += StageRun(name, rows, (System.nanoTime() - t0) / 1000000, resumed = false)
+        }
         df
       }
+    }
+
+    /** Run two INDEPENDENT stages concurrently: Spark's scheduler interleaves
+      * the two jobs' tasks, so one stage's straggler tail overlaps the
+      * other's work instead of idling the cluster — a pure utilization win
+      * at high parallelism (at low parallelism the scheduler simply
+      * serializes the ready tasks; A/B'd in StageBench). This is ordinary
+      * multi-threaded job submission on one SparkSession — the supported
+      * Spark concurrency model — not a custom scheduler.
+      */
+    def concurrently(a: => DataFrame, b: => DataFrame): (DataFrame, DataFrame) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fa = Future(a)
+      val fb = Future(b)
+      (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
     }
 
     // S0 — transcripts, stored range-partitioned by conv_id and sorted by
@@ -133,12 +162,12 @@ object Pipeline {
     }
     val turns = transcripts.as[Turn]
 
-    // S1 — gazetteer mentions (map-only).
+    // S1 ∥ S2 — mentions and triples both consume only transcripts: run them
+    // concurrently so their task sets interleave (both are map-only).
     val gazetteer = MentionDetector.buildIndex(TranscriptGen.gazetteerSurfaces(cfg.gen))
-    val mentionsDf = stage("mentions") { Extract.mentions(turns, gazetteer).toDF() }
-
-    // S2 — triple extraction (map-only).
-    val triplesDf = stage("triples") { Extract.triples(turns).toDF() }
+    val (mentionsDf, triplesDf) = concurrently(
+      stage("mentions") { Extract.mentions(turns, gazetteer).toDF() },
+      stage("triples") { Extract.triples(turns).toDF() })
 
     // S3 — entity linking (broadcast joins only on the big side).
     val linkedDf = stage("linked") {
@@ -155,10 +184,13 @@ object Pipeline {
     val canonTyped = canonDf.as[graft.model.CanonTriple]
     val types = dict.select(col("canonical_name").as("canon_name"), col("entity_type")).distinct()
     lazy val graph = Materialize.graph(canonTyped, Some(types))
-    stage("nodes", always = true) { graph.nodes }
-    stage("edges", partitionBy = Seq("rel_type"), always = true) { graph.edges }
+    // S5a ∥ S5b — node and edge tables both derive from canon only
+    concurrently(
+      stage("nodes", always = true) { graph.nodes },
+      stage("edges", partitionBy = Seq("rel_type"), always = true) { graph.edges })
 
-    val result = Result(cfg.workDir, stages.result())
+    val result = Result(cfg.workDir,
+      stages.result().sortBy(s => StageOrder.getOrElse(s.stage, 99)))
     writeMetrics(cfg, result)
     result
   }
