@@ -199,7 +199,11 @@ object Dedup {
       threshold: Double, numTables: Int = 16, planesPerTable: Int = 0,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     import graft.functions.VectorOps
+    // materialized once: consumed by the auto-planes count, the banding
+    // self-join and both sides of the cosine verify (the vector table is the
+    // checkpointed artifact at cluster scale, like minhashLsh's sigd)
     val e = emb.select(col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     embeddingCandidates(e, numTables, planesPerTable, dim, seed)
       .join(e.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(e.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
