@@ -328,8 +328,16 @@ object SparkEntry {
         System.getProperty("java.io.tmpdir"), s"graft-stw-${math.abs(dir.hashCode)}")
       java.nio.file.Files.createDirectories(streamDir)
       val staged = streamDir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(staged))
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+      if (!java.nio.file.Files.exists(staged)) {
+        // copy-then-atomic-move: a crash mid-copy must not leave a partial
+        // parquet behind for the next run to stream
+        val tmp = streamDir.resolve(s"events.parquet.tmp-${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), tmp)
+        try java.nio.file.Files.move(tmp, staged, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp) // concurrent staging won the race
+        }
+      }
       val stream = s.readStream.schema(schema).parquet(streamDir.toString)
         .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
       val name = "st_windowed_" + java.util.UUID.randomUUID().toString.replace("-", "")

@@ -42,7 +42,10 @@ object CypherLite {
   /** Parse and run `query` against the graph behind `pm`. */
   def run(pm: PatternMatch, query: String): DataFrame = {
     val q = query.trim.replaceAll("\\s+", " ")
-    val upper = q.toUpperCase
+    // ASCII-only uppercase: String.toUpperCase can change LENGTH under
+    // locale rules (ß→SS), which would misalign the keyword indices used to
+    // substring `q`
+    val upper = q.map(c => if (c >= 'a' && c <= 'z') (c - 32).toChar else c)
     for (kw <- Seq("OPTIONAL MATCH", "CREATE", "MERGE", "DELETE", "SET ", "UNION", "SKIP", "WITH "))
       if (upper.contains(kw)) throw ParseError(s"'${kw.trim}' is not in the supported fragment")
 

@@ -142,12 +142,15 @@ object Pipeline {
       * Spark concurrency model — not a custom scheduler.
       */
     def concurrently(a: => DataFrame, b: => DataFrame): (DataFrame, DataFrame) = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val fa = Future(a)
-      val fb = Future(b)
-      (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+      if (sys.env.contains("GRAFT_NO_CONCURRENT_STAGES")) (a, b) // A/B escape
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fa = Future(a)
+        val fb = Future(b)
+        (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+      }
     }
 
     // S0 — transcripts, stored range-partitioned by conv_id and sorted by
