@@ -27,16 +27,26 @@ import graft.sources.TranscriptGen
   *    first pair always runs (scaling evidence beats trial count).
   *
   * Scaling protocol: configs run INTERLEAVED (lo, hi, lo, hi, …) so external
-  * host load hits both configs alike. Clean-trial rule (self-calibrating):
-  * the pipeline's CPU cost per turn (achieved cores × wall / turns) is
-  * config-independent at this corpus size, so the minimum across ALL trials
-  * is the uncontaminated cost and any trial burning more than
-  * GRAFT_BENCH_CPU_FACTOR (default 1.4) × that was externally disturbed; the
-  * reported throughput per config is the MEDIAN of clean trials (falling
-  * back to the highest-throughput trial, flagged `*_used_clean:false`, when
-  * none are clean). /proc/loadavg and idle-sampled /proc/stat busy fractions
-  * are recorded per trial as context but are NOT the filter — loadavg decays
-  * too slowly after our own 32-core trials to separate us from co-tenants.
+  * host load hits both configs alike. Admissibility (round-4 rules):
+  *  1. a trial with achieved_cores > 1.1 × requested is DISQUALIFIED outright
+  *     (the JVM cannot legitimately out-achieve its core budget — overshoot
+  *     means process-CPU accounting was polluted under external contention);
+  *  2. among qualified trials, clean-per-config: CPU cost per turn (achieved
+  *     cores × wall / turns) ≤ GRAFT_BENCH_CPU_FACTOR (default 1.4) × the
+  *     config's best qualified cost — meaningful only with ≥2 qualified
+  *     trials (one trial is trivially within any factor of itself);
+  *  3. `scaling_efficiency` prints null unless both configs pass (2); the
+  *     raw ratio is always visible as `scaling_efficiency_raw`;
+  *  4. `measurement_valid` is true only with ≥2 CLEAN trials per config and
+  *     a physically plausible efficiency (≤ 1.15). The pair loop keeps
+  *     scheduling (to a 2× hard cap) until this holds or the budget runs out,
+  *     and pairs are budget-admitted at the MINIMUM observed pair cost so a
+  *     contaminated slow trial can't block its own retry.
+  * Reported throughput per config is the MEDIAN of clean trials (fallback:
+  * highest-throughput qualified trial, flagged `*_used_clean:false`).
+  * /proc/loadavg and idle-sampled /proc/stat busy fractions are recorded per
+  * trial as context but are NOT the filter — loadavg decays too slowly after
+  * our own 32-core trials to separate us from co-tenants.
   */
 object Bench {
 
@@ -80,6 +90,14 @@ object Bench {
       stages: Seq[(String, Double)]) {
     def tput: Double = turns / sec
     def cpuPerTurn: Double = achievedCores * sec / turns
+    /** Hard disqualifier: the JVM cannot legitimately achieve more cores than
+      * it requested — overshoot means the process-CPU accounting was polluted
+      * by GC/JIT threads thrashing under external contention (observed:
+      * achieved 10.9 on a local[8] trial under loadavg 26). 1.1 allows normal
+      * GC/JIT overhead. A disqualified trial is recorded in the JSON but
+      * excluded from medians, the clean rule, and the efficiency.
+      */
+    def disqualified: Boolean = achievedCores > 1.1 * cores
   }
 
   private def procCpuNs: Long =
@@ -166,35 +184,61 @@ object Bench {
     val maxPairs = sys.env.getOrElse("GRAFT_BENCH_TRIALS", "3").toInt
     val cpuFactor = sys.env.getOrElse("GRAFT_BENCH_CPU_FACTOR", "1.4").toDouble
 
+    // ---- admissibility (round-4 protocol) --------------------------------
+    // A config's trials are first QUALIFIED (achieved_cores ≤ 1.1 × requested
+    // — Trial.disqualified drops CPU-accounting-polluted trials entirely),
+    // then the clean rule applies PER CONFIG among qualified trials: clean
+    // iff CPU cost per turn ≤ cpuFactor × the config's best qualified cost.
+    // (Per-config because the warm 32-core config legitimately pays more
+    // CPU/turn than the 8-core config — coordination + memory contention.)
+    // The clean rule is only meaningful with ≥2 qualified trials (one trial
+    // is trivially within any factor of itself — the round-3 hole), so:
+    //  - scaling_efficiency is null unless BOTH configs have ≥2 qualified
+    //    trials and ≥1 clean trial;
+    //  - measurement_valid is true only when both configs have ≥2 CLEAN
+    //    trials and the efficiency is physically plausible (≤ 1.15).
+    final case class Pick(used: Seq[Trial], usedClean: Boolean,
+        nClean: Int, nQualified: Int)
+    def pick(cores: Int): Pick = {
+      val qualified = trials.filter(t => t.cores == cores && !t.disqualified).toSeq
+      if (qualified.isEmpty) return Pick(Nil, usedClean = false, 0, 0)
+      val best = qualified.map(_.cpuPerTurn).min
+      val clean = qualified.filter(_.cpuPerTurn <= cpuFactor * best)
+      val meaningful = qualified.size >= 2 && clean.nonEmpty
+      if (meaningful) Pick(clean, usedClean = true, clean.size, qualified.size)
+      else Pick(Seq(qualified.maxBy(_.tput)), usedClean = false, clean.size, qualified.size)
+    }
+    def measurementValid: Boolean = {
+      val (lo, hi) = (pick(loCores), pick(hiCores))
+      if (lo.nClean < 2 || hi.nClean < 2 || !lo.usedClean || !hi.usedClean) false
+      else {
+        val eff = (median(hi.used.map(_.tput)) / median(lo.used.map(_.tput))) /
+          (hiCores.toDouble / loCores)
+        eff > 0 && eff <= 1.15
+      }
+    }
+
     /** Full output line from everything measured so far. */
     def render(partial: Boolean): String = {
       val scaling =
         if (trials.isEmpty)
-          s"""{"n_conv":$nConv,"trials":[],"scaling_efficiency":null,"budget_truncated":$truncated}"""
+          s"""{"n_conv":$nConv,"trials":[],"scaling_efficiency":null,""" +
+            s""""measurement_valid":false,"budget_truncated":$truncated}"""
         else {
-          // clean rule is PER CONFIG: a trial is clean iff its CPU cost per
-          // turn is within cpuFactor of the best trial AT THE SAME core
-          // count. (A global best was wrong once the engine got fast enough
-          // that the warm 32-core config pays genuinely more CPU/turn than
-          // the warm 8-core config — coordination + memory contention — and
-          // every hi trial was disqualified as "contaminated" against the lo
-          // best. Cross-config weather still averages out via interleaving
-          // and medians.)
-          def pick(cores: Int): (Seq[Trial], Boolean) = {
-            val ts = trials.filter(_.cores == cores).toSeq
-            if (ts.isEmpty) return (Nil, false)
-            val best = ts.map(_.cpuPerTurn).min
-            val clean = ts.filter(_.cpuPerTurn <= cpuFactor * best)
-            // no clean trial for this config ⇒ least-contaminated (highest
-            // tput) trial, flagged false in the JSON
-            if (clean.nonEmpty) (clean, true) else (Seq(ts.maxBy(_.tput)), false)
-          }
-          val bestCpuPerTurn = trials.map(_.cpuPerTurn).min
-          val (lo, loClean) = pick(loCores)
-          val (hi, hiClean) = pick(hiCores)
-          val tputLo = median(lo.map(_.tput))
-          val tputHi = median(hi.map(_.tput))
-          val eff = (tputHi / tputLo) / (hiCores.toDouble / loCores)
+          val qualifiedAll = trials.filterNot(_.disqualified)
+          val bestCpuPerTurn =
+            if (qualifiedAll.isEmpty) Double.NaN else qualifiedAll.map(_.cpuPerTurn).min
+          val lo = pick(loCores)
+          val hi = pick(hiCores)
+          val tputLo = median(lo.used.map(_.tput))
+          val tputHi = median(hi.used.map(_.tput))
+          val effRaw = (tputHi / tputLo) / (hiCores.toDouble / loCores)
+          // admissible efficiency: both configs must have ≥2 qualified trials
+          // and a clean representative — otherwise null (the r3 1.320 came
+          // from a single contaminated pair the vacuous rule called clean)
+          val effAdmissible = lo.usedClean && hi.usedClean
+          val effJson = if (effAdmissible) jnum(effRaw) else "null"
+          val valid = measurementValid
           def repr(ts: Seq[Trial], m: Double): Seq[(String, Double)] =
             if (ts.isEmpty) Nil else ts.minBy(t => math.abs(t.tput - m)).stages
           def stagesJson(st: Seq[(String, Double)]): String =
@@ -202,19 +246,24 @@ object Bench {
           val trialsJson = trials.map(t =>
             f"""{"cores":${t.cores},"sec":${t.sec}%.2f,"turns_per_sec":${t.tput}%.1f,""" +
               f""""loadavg":${t.load}%.2f,"ext_busy":${t.extBusy}%.3f,""" +
-              f""""achieved_cores":${t.achievedCores}%.1f}""")
+              f""""achieved_cores":${t.achievedCores}%.1f,""" +
+              s""""disqualified":${t.disqualified}}""")
             .mkString("[", ",", "]")
           s"""{"n_conv":$nConv,"turns":${trials.head.turns},""" +
-            s""""sec_8":${jnum(median(lo.map(_.sec)))},"sec_32":${jnum(median(hi.map(_.sec)))},""" +
+            s""""sec_8":${jnum(median(lo.used.map(_.sec)))},"sec_32":${jnum(median(hi.used.map(_.sec)))},""" +
             s""""turns_per_sec_8":${jnum(tputLo)},"turns_per_sec_32":${jnum(tputHi)},""" +
-            s""""scaling_efficiency":${jnum(eff)},""" +
+            s""""scaling_efficiency":$effJson,""" +
+            s""""scaling_efficiency_raw":${jnum(effRaw)},""" +
+            s""""measurement_valid":$valid,""" +
             s""""protocol":{"pairs_run":${trials.count(_.cores == loCores)},"interleaved":true,""" +
-            f""""clean_rule":"cpu_per_turn<=${cpuFactor}%.1fx_best",""" +
+            f""""clean_rule":"cpu_per_turn<=${cpuFactor}%.1fx_best_qualified;>=2_qualified;achieved<=1.1x_requested",""" +
             f""""best_cpu_us_per_turn":${bestCpuPerTurn * 1e6}%.1f,""" +
-            s""""lo_used_clean":$loClean,"hi_used_clean":$hiClean,""" +
+            s""""lo_used_clean":${lo.usedClean},"hi_used_clean":${hi.usedClean},""" +
+            s""""lo_clean_trials":${lo.nClean},"hi_clean_trials":${hi.nClean},""" +
+            s""""lo_qualified_trials":${lo.nQualified},"hi_qualified_trials":${hi.nQualified},""" +
             s""""budget_truncated":$truncated,"trials":$trialsJson},""" +
-            s""""stage_sec_8":${stagesJson(repr(lo, tputLo))},""" +
-            s""""stage_sec_32":${stagesJson(repr(hi, tputHi))}}"""
+            s""""stage_sec_8":${stagesJson(repr(lo.used, tputLo))},""" +
+            s""""stage_sec_32":${stagesJson(repr(hi.used, tputHi))}}"""
         }
       val total = results.map(_._2).sum
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$queriesJson,""" +
@@ -237,6 +286,11 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         results += name -> (System.nanoTime() - t0) / 1e9
+        // per-query persisted intermediates (LSH signature/vector tables)
+        // are released between queries so a 50-query sweep doesn't
+        // accumulate cached tables; the memoized graph is NOT tracked here
+        // and intentionally survives across the kg_* queries
+        graft.util.TempCaches.release(spark)
         checkpoint()
       }
       spark.stop()
@@ -253,22 +307,30 @@ object Bench {
       pipelineRun(hiCores, math.max(nConv / 10, 200)) // warmup: JIT/codegen/heap-touch
     var pair = 0
     // Extend past maxPairs while the measurement is still CONVERGING: if the
-    // latest trial of either config set a new best per-turn CPU cost by >5%,
-    // the JVM is still warming (JIT/code-cache effects persist across the
-    // per-trial sessions — observed best cost falling 322→121 µs across 5
-    // pairs) and a median taken now would mix cold and warm regimes.
+    // latest qualified trial of either config set a new best per-turn CPU
+    // cost by >5%, the JVM is still warming (JIT/code-cache effects persist
+    // across the per-trial sessions — observed best cost falling 322→121 µs
+    // across 5 pairs) and a median taken now would mix cold and warm regimes.
     def stillImproving: Boolean =
       Seq(loCores, hiCores).exists { c =>
-        val ts = trials.filter(_.cores == c).map(_.cpuPerTurn).toSeq
+        val ts = trials.filter(t => t.cores == c && !t.disqualified).map(_.cpuPerTurn).toSeq
         ts.size >= 2 && ts.last <= 0.95 * ts.init.min
       }
+    // keep scheduling pairs (up to the 2× hard cap) until BOTH configs have
+    // ≥2 clean trials — the admissibility bar — so one weather-contaminated
+    // trial buys a retry instead of poisoning the reported efficiency
     def wantMore: Boolean =
-      pair < maxPairs || (pair < hardCapPairs && stillImproving)
+      pair < maxPairs ||
+        (pair < hardCapPairs && (stillImproving || !measurementValid))
     while (wantMore && !truncated) {
-      val pairCost = // worst observed cost of a (lo, hi) pair so far
+      // budget on the MINIMUM observed pair cost: the cheapest-possible next
+      // pair is the right admission question — charging the worst pair let a
+      // single contaminated 1,125 s trial block the retry that would have
+      // produced the clean evidence (round-3 defect)
+      val pairCost =
         if (trials.isEmpty) 0.0
-        else trials.filter(_.cores == loCores).map(_.sec).max +
-          trials.filter(_.cores == hiCores).map(_.sec).max
+        else trials.filter(_.cores == loCores).map(_.sec).min +
+          trials.filter(_.cores == hiCores).map(_.sec).min
       // the first pair always runs — partial scaling evidence beats none
       if (pair > 0 && elapsed + pairCost > budgetSec) truncated = true
       else {

@@ -45,6 +45,10 @@ object Capabilities {
     "union_all",
     "expand",
     "expand_into",
+    // round 4: one-hop optional expand (OPTIONAL MATCH's shape) — planned as
+    // a left-outer join like the reference's outer-join operators
+    // (impl/planning/BinaryOperator.scala:58-59); PatternMatch.expandOptional
+    "optional_match",
     // pipeline stages (BASELINE.json north_star)
     "triple_extraction",
     "mention_detection",
@@ -82,7 +86,6 @@ object Capabilities {
     */
   val unsupported: Set[String] = Set(
     "var_length_expand", // reference lacks it (no *1..n in the planner SPI)
-    "optional_match",
     "shortest_path",
     "skip", // reference lacks SKIP
     "graph_union_all", // reference MemCypherGraph.unionAll = unimplemented

@@ -61,6 +61,25 @@ final case class PatternMatch(nodes: DataFrame, edges: DataFrame) {
     else joined.drop(joined.columns.filter(_.startsWith(s"${rv}_")).toSeq: _*)
   }
 
+  /** Optional expand (OPTIONAL MATCH's one-hop shape): like [[expand]], but
+    * rows of `bound` with no matching edge+target survive with the `to`
+    * variable's columns (and the relationship's, when bound) null-padded —
+    * the reference plans optional matches as outer joins
+    * (reference: impl/planning/BinaryOperator.scala:58-59 LeftOuterJoin/
+    * RightOuterJoin). The edge→target join stays inner (a dangling edge is
+    * not a match); only the bound→hop join is left-outer, so Catalyst still
+    * broadcast-plans the hop side when small.
+    */
+  def expandOptional(bound: DataFrame, from: String, to: String,
+      relTypes: Set[String] = Set.empty, relVar: Option[String] = None): DataFrame = {
+    val rv = relVar.getOrElse(s"__r_${from}_$to")
+    val typed = if (relTypes.isEmpty) edges else edges.where(col("rel_type").isin(relTypes.toSeq: _*))
+    val hop = prefixed(typed, rv).join(scan(to), col(s"${rv}_dst") === col(s"${to}_id"))
+    val joined = bound.join(hop, col(s"${from}_id") === col(s"${rv}_src"), "left_outer")
+    if (relVar.isDefined) joined
+    else joined.drop(joined.columns.filter(_.startsWith(s"${rv}_")).toSeq: _*)
+  }
+
   /** Expand into an already-bound variable (cycle closing). */
   def expandInto(bound: DataFrame, from: String, to: String,
       relTypes: Set[String] = Set.empty): DataFrame = {

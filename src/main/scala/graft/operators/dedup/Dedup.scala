@@ -74,12 +74,12 @@ object Dedup {
     // and the shingle array must be computed once per row, not re-inlined
     // into every one of the 16 hash functions × 3 consumers (that plan shape
     // measured 178 s on 5k docs; materialized, ~3 s). At cluster scale this
-    // is the standard LSH "signature table" checkpoint stage.
-    val sigd = docs.select(col(idCol).as("id"),
+    // is the standard LSH "signature table" checkpoint stage. Tracked in
+    // TempCaches: sweep drivers release it once the query's action completes.
+    val sigd = graft.util.TempCaches.track(docs.select(col(idCol).as("id"),
       tokenShingles(col(textCol), 3).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSigFromShingles(col("sh"), numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("sig", minhashSigFromShingles(col("sh"), numHashes)))
     val banded = sigd.select(col("id"),
       explode(transform(sequence(lit(0), lit(numBands - 1)),
         b => xxhash64((0 until bandSize).map(i =>
@@ -201,9 +201,10 @@ object Dedup {
     import graft.functions.VectorOps
     // materialized once: consumed by the auto-planes count, the banding
     // self-join and both sides of the cosine verify (the vector table is the
-    // checkpointed artifact at cluster scale, like minhashLsh's sigd)
-    val e = emb.select(col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // checkpointed artifact at cluster scale, like minhashLsh's sigd);
+    // tracked in TempCaches for post-query release by sweep drivers
+    val e = graft.util.TempCaches.track(
+      emb.select(col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("v")))
     embeddingCandidates(e, numTables, planesPerTable, dim, seed)
       .join(e.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(e.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))

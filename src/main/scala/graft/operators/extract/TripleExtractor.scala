@@ -74,14 +74,87 @@ object MentionDetector {
     wsSplit.split(s.toLowerCase).map(t => edgePunct.matcher(t).replaceAll(""))
       .filter(_.nonEmpty).mkString(" ")
 
-  final class Index(entries: Set[String], val maxGram: Int) extends Serializable {
+  /** Lookup surface the detector scans against. Two implementations:
+    * [[buildIndex]]'s in-memory set (tests / driver-generated vocabularies)
+    * and [[FileIndex]] (the scale path: the surface list is built and
+    * written DISTRIBUTED, never materialized on the driver, and each
+    * executor JVM loads it once from storage).
+    */
+  sealed abstract class Index extends Serializable {
+    def contains(n: String): Boolean
+    def maxGram: Int
+  }
+
+  private final class SetIndex(entries: Set[String], val maxGram: Int) extends Index {
     def contains(n: String): Boolean = entries.contains(n)
   }
 
   def buildIndex(surfaces: Iterable[String]): Index = {
     val normed = surfaces.iterator.map(norm).filter(_.nonEmpty).toSet
-    val maxGram = if (normed.isEmpty) 1 else normed.iterator.map(_.count(_ == ' ') + 1).max
-    new Index(normed, maxGram)
+    new SetIndex(normed, maxGramOf(normed))
+  }
+
+  private def maxGramOf(normed: Iterable[String]): Int =
+    if (normed.isEmpty) 1 else normed.iterator.map(_.count(_ == ' ') + 1).max
+
+  /** File-backed gazetteer index: serializes as just the path (bytes on the
+    * wire ≈ the string), and each JVM — driver or executor — lazily loads
+    * the surface file once on first lookup via a process-wide cache. This is
+    * how a web-scale vocabulary ships without ever passing through the
+    * driver: [[writeIndexFile]] normalizes/dedups/writes it distributed, and
+    * the detector tasks read it straight from shared storage (Hadoop
+    * FileSystem — local paths here, hdfs://-style URIs on a cluster).
+    */
+  final class FileIndex(val path: String) extends Index {
+    @transient private lazy val delegate: Index = FileIndex.load(path)
+    def contains(n: String): Boolean = delegate.contains(n)
+    def maxGram: Int = delegate.maxGram
+  }
+
+  object FileIndex {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index]
+
+    private def load(path: String): Index = cache.computeIfAbsent(path, { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val parts = fs.listStatus(hp).filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      val entries = new java.util.HashSet[String]()
+      var maxGram = 1
+      parts.foreach { part =>
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(part.getPath), java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          var line = in.readLine()
+          while (line != null) {
+            if (line.nonEmpty) {
+              entries.add(line)
+              val g = line.count(_ == ' ') + 1
+              if (g > maxGram) maxGram = g
+            }
+            line = in.readLine()
+          }
+        } finally in.close()
+      }
+      val mg = maxGram
+      new Index {
+        def contains(n: String): Boolean = entries.contains(n)
+        def maxGram: Int = mg
+      }
+    })
+  }
+
+  /** Build a gazetteer file distributed — normalize, dedup, write one
+    * surface per line — and return its [[FileIndex]]. No driver
+    * materialization anywhere: the vocabulary table can be arbitrarily
+    * large as long as the final surface set fits one executor's heap
+    * (the same bound a broadcast dictionary has).
+    */
+  def writeIndexFile(surfaces: org.apache.spark.sql.Dataset[String], path: String): FileIndex = {
+    val spark = surfaces.sparkSession
+    import spark.implicits._
+    surfaces.map(norm).filter(_.nonEmpty).distinct()
+      .write.mode("overwrite").text(path)
+    new FileIndex(path)
   }
 
   private final case class Tok(text: String, begin: Int, end: Int)

@@ -149,7 +149,12 @@ object Pipeline {
         import scala.concurrent.ExecutionContext.Implicits.global
         val fa = Future(a)
         val fb = Future(b)
-        (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+        // settle BOTH before surfacing either failure: if a fails while b is
+        // mid-write, unwinding immediately would leave b detached, still
+        // writing its checkpoint table against a run that is tearing down
+        val ra = Await.ready(fa, Duration.Inf).value.get
+        val rb = Await.ready(fb, Duration.Inf).value.get
+        (ra.get, rb.get)
       }
     }
 
@@ -167,7 +172,19 @@ object Pipeline {
 
     // S1 ∥ S2 — mentions and triples both consume only transcripts: run them
     // concurrently so their task sets interleave (both are map-only).
-    val gazetteer = MentionDetector.buildIndex(TranscriptGen.gazetteerSurfaces(cfg.gen))
+    // Gazetteer: built DISTRIBUTED and file-backed (normalize→dedup→write,
+    // executors load it from storage) — the vocabulary never materializes on
+    // the driver, which is what lets the 500k-entity cap (and beyond) ship.
+    // Written once per workDir; the config fingerprint above already pins
+    // workDir↔generator-config, so a committed gazetteer is always current.
+    val gazPath = s"${cfg.workDir}/gazetteer"
+    val gazetteer: MentionDetector.Index = {
+      val fs = new org.apache.hadoop.fs.Path(gazPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(gazPath, "_SUCCESS")))
+        new MentionDetector.FileIndex(gazPath)
+      else MentionDetector.writeIndexFile(TranscriptGen.gazetteerDs(spark, cfg.gen), gazPath)
+    }
     val (mentionsDf, triplesDf) = concurrently(
       stage("mentions") { Extract.mentions(turns, gazetteer).toDF() },
       stage("triples") { Extract.triples(turns).toDF() })

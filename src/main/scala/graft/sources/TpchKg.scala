@@ -84,13 +84,27 @@ object TpchKg {
       col("entity_type"))
   }
 
-  /** Gazetteer index for mention detection (dimension-sized driver collect —
-    * the broadcast-dictionary pattern; at true scale ship a file-backed
-    * index the same way).
+  /** Gazetteer index for mention detection — FILE-BACKED: the surface list
+    * is normalized/deduped/written distributed (never collected to the
+    * driver) and executors load it straight from storage
+    * ([[MentionDetector.FileIndex]]). Written once per source-table CONTENT
+    * (fingerprint = path + mtime + size of the three base tables), so a
+    * regenerated sf dir gets a fresh index.
     */
-  def gazetteer(spark: SparkSession, dir: String): MentionDetector.Index =
-    MentionDetector.buildIndex(
-      entityNames(spark, dir).select(lower(col("name"))).collect().map(_.getString(0)))
+  def gazetteer(spark: SparkSession, dir: String): MentionDetector.Index = {
+    import spark.implicits._
+    val fp = Seq("customer", "nation", "region").map { tbl =>
+      val p = java.nio.file.Paths.get(s"$dir/$tbl.parquet")
+      Seq(p.toAbsolutePath.toString,
+        java.nio.file.Files.getLastModifiedTime(p).toMillis,
+        java.nio.file.Files.size(p)).mkString(":")
+    }.mkString("|")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-gaz-${graft.util.Hashing.fnv64(fp).toHexString}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+      MentionDetector.writeIndexFile(
+        entityNames(spark, dir).select(lower(col("name"))).as[String], path)
+    new MentionDetector.FileIndex(path)
+  }
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL fragments (the driver runs these on the same parquet)

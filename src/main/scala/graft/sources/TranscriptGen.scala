@@ -122,12 +122,23 @@ object TranscriptGen {
         col("c.canonical_name").as("canonical_name"), col("c.entity_type").as("entity_type"))
   }
 
-  /** All alias surfaces (gazetteer input). Driver-side collect is bounded by
-    * entityCount's cap; at true web scale the gazetteer ships as a
-    * file-backed index instead — same MentionDetector API.
+  /** All alias surfaces (gazetteer input) — driver-side variant for tests
+    * and small fixtures; the pipeline uses [[gazetteerDs]] + a file-backed
+    * index so the vocabulary never passes through the driver.
     */
   def gazetteerSurfaces(cfg: Config): Seq[String] =
     (0 until cfg.entityCount).flatMap(i => entity(i).aliases)
+
+  /** Alias surfaces generated DISTRIBUTED (entity i is a pure function of i,
+    * so the ordinal space partitions across executors with zero shuffle) —
+    * feeds [[graft.operators.extract.MentionDetector.writeIndexFile]] at
+    * scale, including the 500k-entity vocabulary cap.
+    */
+  def gazetteerDs(spark: SparkSession, cfg: Config): Dataset[String] = {
+    import spark.implicits._
+    val n = spark.sparkContext.defaultParallelism * 2
+    spark.range(0, cfg.entityCount, 1, n).flatMap(i => entity(i.toInt).aliases)
+  }
 
   private val distractors = Vector(
     "please run the query again",

@@ -149,7 +149,14 @@ object Streaming {
         col("user_id"), lit("__sentinel").as("event_type"), lit(0.0).as("value"))
     events.unionByName(sentinels).write.parquet(prepDir)
 
-    val stream = spark.readStream.schema(events.schema).parquet(prepDir).as[Event]
+    // one micro-batch for the whole prep dir: FileStreamSource's default
+    // maxFilesPerTrigger (1000) would split a >1000-file prep dir into
+    // several batches with no event-time ordering — if the sentinel file
+    // landed in an early batch the watermark would advance past every real
+    // event and later batches would be silently dropped
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", Int.MaxValue)
+      .schema(events.schema).parquet(prepDir).as[Event]
     val q = sessionizeStream(stream, gapSec)
       .writeStream
       .outputMode("append")
@@ -179,4 +186,62 @@ object Streaming {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** End-to-end streaming windowed aggregation over an events parquet table
+    * — the driver-gate surface for [[windowedCounts]] in the BOUNDED-STATE
+    * shape (append output + watermark eviction + foreachBatch parquet — the
+    * same plan a production stream runs forever on): a window's row is
+    * emitted exactly once, when the event-time watermark passes its end, and
+    * its state is evicted. Complete-mode/memory-sink (the previous gate
+    * shape) would instead accumulate every window ever seen in driver
+    * memory. Like [[sessionizeParquetJob]], a single sentinel event past
+    * `max ts + windowDur + watermark` proves every real window closed inside
+    * the AvailableNow drain; the sentinel's own window is filtered on
+    * read-back.
+    *
+    * Returns (hour_sec, event_type, n) — integer-exact columns only, so the
+    * result is oracle-comparable (float sums stay out of the gate; the batch
+    * path q14 gates decimal sums).
+    */
+  def windowedCountsParquetJob(spark: org.apache.spark.sql.SparkSession,
+      eventsPath: String, workDir: String,
+      windowDur: String = "1 hour", watermark: String = "10 seconds",
+      sentinelLeadMs: Long = 3600000L + 10000L + 60000L): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val prepDir = s"$workDir/input"
+    val outDir = s"$workDir/windows"
+    val ckDir = s"$workDir/ckpt"
+    val fs = new org.apache.hadoop.fs.Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(workDir), true)
+
+    import spark.implicits._
+    val events = spark.read.parquet(eventsPath)
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+    val maxTsMs = events.agg(max(unix_millis(col("ts")))).as[Long].head()
+    val sentinel = spark.range(1).select(
+      timestamp_millis(lit(maxTsMs + sentinelLeadMs)).as("ts"),
+      lit("__sentinel").as("event_type"), lit(0.0).as("value"))
+    events.unionByName(sentinel).write.parquet(prepDir)
+
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", Int.MaxValue) // single batch — see sessionizeParquetJob
+      .schema(events.schema).parquet(prepDir)
+    val q = windowedCounts(stream, windowDur, watermark)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+
+    spark.read.parquet(outDir)
+      .where(col("event_type") =!= "__sentinel" &&
+        unix_millis(col("window_start")) <= maxTsMs)
+      .select(unix_timestamp(col("window_start")).as("hour_sec"),
+        col("event_type"), col("n"))
+  }
 }

@@ -60,6 +60,46 @@ object Hashing {
     (avalanche(mix(parts: _*)) >>> 11).toDouble / (1L << 53).toDouble
 }
 
+/** Scoped lifecycle for per-query persisted intermediates (LSH signature /
+  * vector tables): operators that must materialize a table consumed several
+  * times inside one query register it here instead of calling bare
+  * `persist`, and sweep drivers (Bench, Verify) release a session's tracked
+  * tables after each query materializes. Without this, a long-lived session
+  * sweeping many dedup queries accumulates cached signature tables until LRU
+  * eviction — correct, but needless memory pressure at scale.
+  *
+  * Contract: release(spark) only between queries (after the consumer's
+  * action) — a tracked table unpersisted mid-query would silently recompute
+  * its plan per consumer, the exact re-inlining minhashLsh materializes to
+  * avoid.
+  */
+object TempCaches {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  private val tracked = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  /** Persist (MEMORY_AND_DISK) and register for scoped release. */
+  def track(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tracked += p
+    p
+  }
+
+  /** Unpersist every tracked table belonging to `spark`. */
+  def release(spark: SparkSession): Unit = synchronized {
+    tracked.filterInPlace { df =>
+      val mine = df.sparkSession eq spark
+      if (mine) df.unpersist(blocking = false)
+      !mine
+    }
+  }
+
+  /** Tracked-table count for `spark` (test hook). */
+  def trackedCount(spark: SparkSession): Int = synchronized {
+    tracked.count(_.sparkSession eq spark)
+  }
+}
+
 object Sessions {
   /** Local session with the settings every entry point shares. Parallelism is
     * the scale knob used for the two-cluster-size scaling evidence

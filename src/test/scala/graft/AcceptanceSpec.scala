@@ -165,6 +165,27 @@ class AcceptanceSpec extends SparkTestBase {
     assert(demo.scan("n", Set("Ghost")).count() == 0)
   }
 
+  test("optional expand null-pads non-matching rows " +
+    "(OPTIONAL MATCH shape; reference plans it as outer join, BinaryOperator.scala:58-59)") {
+    // Bob and Carol have no HAS_INTEREST edge — they must survive with null t
+    val res = demo.expandOptional(demo.scan("p", Set("Person")), "p", "t", Set("HAS_INTEREST"))
+      .select(col("p_name"), col("t_name"))
+      .as[(String, Option[String])].collect().toSet
+    assert(res == Set(
+      ("Alice", Some("Databases")), ("Eve", Some("Databases")),
+      ("Dave", Some("Hadoop")), ("Frank", Some("Hadoop")),
+      ("Bob", None), ("Carol", None)))
+  }
+
+  test("optional expand binds the relationship var's columns as null too") {
+    val res = demo.expandOptional(demo.scan("p", Set("Person")), "p", "q",
+      Set("HAS_INTEREST"), relVar = Some("r"))
+      .where(col("p_name") === "Bob")
+      .select(col("r_rel_type"), col("q_name"))
+      .as[(Option[String], Option[String])].collect().toSeq
+    assert(res == Seq((None, None)))
+  }
+
   test("cycle closing with expandInto: mutual KNOWS pairs") {
     val bound = demo.expand(demo.scan("a", Set("Person")), "a", "b", Set("KNOWS"))
     val mutual = demo.expandInto(bound, "b", "a", Set("KNOWS"))

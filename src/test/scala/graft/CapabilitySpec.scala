@@ -25,7 +25,7 @@ class CapabilitySpec extends AnyFunSuite {
       "alias", "project", "select_fields", "drop", "remove_aliases",
       "filter_three_valued", "distinct", "aggregate", "order_by", "limit",
       "join_inner", "join_left_outer", "join_right_outer", "join_left_anti",
-      "cartesian_product", "union_all", "expand", "expand_into",
+      "cartesian_product", "union_all", "expand", "expand_into", "optional_match",
       "triple_extraction", "mention_detection", "entity_linking_dict",
       "entity_linking_lsh", "connected_components", "canonicalization",
       "graph_materialize", "snapshot_resume", "edge_list_tsv_source",
@@ -40,7 +40,7 @@ class CapabilitySpec extends AnyFunSuite {
 
   test("unsupported capability blacklist is pinned") {
     val pinned = Set(
-      "var_length_expand", "optional_match", "shortest_path", "skip",
+      "var_length_expand", "shortest_path", "skip",
       "graph_union_all", "mutation_create", "mutation_merge", "mutation_set",
       "mutation_delete", "cypher_full_grammar", "multimodal_decode_jpeg",
       "multimodal_decode_webp")
@@ -49,7 +49,7 @@ class CapabilitySpec extends AnyFunSuite {
     assert(Capabilities.supported.intersect(Capabilities.unsupported).isEmpty)
   }
 
-  test("PatternMatch public surface is exactly scan/expand/expandInto (no silent var-length/optional gains)") {
+  test("PatternMatch public surface is exactly scan/from/expand/expandOptional/expandInto (no silent var-length gains)") {
     val declared = classOf[PatternMatch].getDeclaredMethods.toSeq
       .filter(m => java.lang.reflect.Modifier.isPublic(m.getModifiers)
         && !java.lang.reflect.Modifier.isStatic(m.getModifiers)) // skip companion forwarders
@@ -59,7 +59,7 @@ class CapabilitySpec extends AnyFunSuite {
         "productPrefix", "productElement", "productIterator",
         "productElementName", "productElementNames", "canEqual").contains(n))
       .toSet
-    assert(declared == Set("scan", "from", "expand", "expandInto"),
+    assert(declared == Set("scan", "from", "expand", "expandOptional", "expandInto"),
       s"PatternMatch surface drifted: $declared — update Capabilities + this pin if intentional")
   }
 
@@ -81,6 +81,7 @@ class CapabilitySpec extends AnyFunSuite {
       "remove_aliases" -> "q18_remove_aliases",
       "expand" -> "kg_match_2hop",
       "expand_into" -> "kg_match_triangle",
+      "optional_match" -> "kg_match_optional",
       "edge_list_tsv_source" -> "el_bench",
       "dedup_embedding_lsh" -> "dd_embed_neardup",
       "multimodal_decode_png" -> "mm_decode",

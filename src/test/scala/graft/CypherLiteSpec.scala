@@ -59,16 +59,76 @@ class CypherLiteSpec extends SparkTestBase {
     assert(res == Seq("Dave"))
   }
 
+  test("reverse arrow desugars to the flipped expand: MATCH (b)<--(a)") {
+    // chain: 1-KNOWS->2-FRIEND->3; reversed 2-hop walks it backwards
+    val res = CypherLite.run(chain, "MATCH (b)<--(a)<--(n) RETURN b.value AS v")
+      .as[Int].collect().toSeq
+    assert(res == Seq(3))
+    val one = CypherLite.run(chain, "MATCH (m)<-[:KNOWS]-(n) RETURN m.value AS v")
+      .as[Int].collect().toSeq
+    assert(one == Seq(2))
+  }
+
+  test("undirected hop matches each relationship once per direction binding") {
+    // (n)--(m) over 2 relationships ⇒ 4 rows (Cypher bag semantics)
+    val res = CypherLite.run(people, "MATCH (n)-[:KNOWS]-(m) RETURN n.name AS n, m.name AS m")
+      .as[(String, String)].collect().toSet
+    assert(res == Set(("Alice", "Bob"), ("Bob", "Alice"), ("Carol", "Dave"), ("Dave", "Carol")))
+    assert(CypherLite.run(people, "MATCH (n)--(m) RETURN n.name AS n").count() == 4)
+  }
+
+  test("label constraints on non-head pattern nodes are applied") {
+    // (n)-[:KNOWS]->(m:Moderator): only Carol→Dave lands on a Moderator
+    val res = CypherLite.run(people, "MATCH (n)-[:KNOWS]->(m:Moderator) RETURN n.name AS n, m.name AS m")
+      .as[(String, String)].collect().toSet
+    assert(res == Set(("Carol", "Dave")))
+    // and on the source side of a reverse arrow
+    val rev = CypherLite.run(people, "MATCH (m)<-[:KNOWS]-(n:Moderator) RETURN n.name AS n")
+      .as[String].collect().toSeq
+    assert(rev == Seq())
+  }
+
+  test("OR in WHERE, AND binds tighter (reference Ors, CypherMapOps.scala:78-80)") {
+    val res = CypherLite.run(people,
+      "MATCH (n:Person) WHERE n.city = 'Leipzig' AND n.age > 25 OR n.name = 'Dave' " +
+        "RETURN n.name AS name ORDER BY name")
+      .as[String].collect().toSeq
+    assert(res == Seq("Bob", "Dave")) // (Leipzig AND >25) OR Dave — not Leipzig AND (…OR…)
+  }
+
+  test("parameters substitute as typed literals (reference Param, CypherMapOps.scala:39-41)") {
+    val res = CypherLite.run(people,
+      "MATCH (n:Person) WHERE n.age >= $minAge AND n.city = $city RETURN n.name AS name LIMIT $k",
+      Map("minAge" -> 30, "city" -> "Dresden", "k" -> 1))
+      .as[String].collect().toSeq
+    assert(res.length == 1 && Set("Carol", "Dave").contains(res.head))
+    assertThrows[CypherLite.ParseError](CypherLite.run(people,
+      "MATCH (n) WHERE n.age > $missing RETURN n.name"))
+  }
+
+  test("keywords inside identifiers or string literals don't split clauses") {
+    // 'skip'/'with' as property-name substrings must not trip the rejection
+    val skippy = PatternMatch(
+      Seq((1L, Seq("A"), 7)).toDF("id", "labels", "skipCount"),
+      Seq.empty[(Long, Long, Long, String)].toDF("id", "src", "dst", "rel_type"))
+    assert(CypherLite.run(skippy, "MATCH (n:A) RETURN n.skipCount AS c")
+      .as[Int].collect().toSeq == Seq(7))
+    // ' OR ' and ' LIMIT ' inside a string literal are data, not clauses
+    val res = CypherLite.run(people,
+      "MATCH (n) WHERE n.name = 'x OR y LIMIT 1' OR n.name = 'Alice' RETURN n.name AS name")
+      .as[String].collect().toSeq
+    assert(res == Seq("Alice"))
+  }
+
   test("unsupported fragments are rejected with clear errors") {
     def rejected(q: String): Unit =
       assertThrows[CypherLite.ParseError](CypherLite.run(chain, q))
     rejected("OPTIONAL MATCH (n) RETURN n")
     rejected("MATCH (n)-[*1..2]->(m) RETURN n")
-    rejected("MATCH (n)--(m) RETURN n")
-    rejected("MATCH (n)<--(m) RETURN n")
     rejected("MATCH (n), (m) RETURN n")
-    rejected("MATCH (n) WHERE n.a = 1 OR n.b = 2 RETURN n")
     rejected("MATCH (n) RETURN n SKIP 2")
     rejected("CREATE (n) RETURN n")
+    rejected("MATCH (n) RETURN n LIMIT five") // non-integer LIMIT → ParseError, not NumberFormat
+    rejected("MATCH (n)<-[:KNOWS]->(m) RETURN n") // both arrow heads
   }
 }

@@ -39,6 +39,26 @@ class OpsSpec extends SparkTestBase {
     assert(truth.subsetOf(cand), s"missed: ${truth.diff(cand)}")
   }
 
+  test("per-query LSH caches are released between queries (no accumulation across a sweep)") {
+    import graft.util.TempCaches
+    TempCaches.release(spark) // clean slate (other suites share the session)
+    val rdds0 = spark.sparkContext.getPersistentRDDs.size
+    // a sweep of cache-tracking dedup queries with the Bench/Verify release
+    // discipline between them must return the session to its baseline
+    (1 to 3).foreach { _ =>
+      Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.5).count()
+      assert(TempCaches.trackedCount(spark) >= 1) // the signature table is tracked
+      TempCaches.release(spark)
+    }
+    Dedup.embeddingNearDup(
+      Seq((0L, Array.fill(64)(0.1f)), (1L, Array.fill(64)(0.1f))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", threshold = 0.9).count()
+    TempCaches.release(spark)
+    assert(TempCaches.trackedCount(spark) == 0)
+    assert(spark.sparkContext.getPersistentRDDs.size <= rdds0,
+      s"persisted RDDs accumulated: ${spark.sparkContext.getPersistentRDDs.size} > $rdds0")
+  }
+
   test("native simhash == declarative 64-lambda formula, bit for bit") {
     val texts = docs.select("text").as[String].collect().toSeq ++
       Seq("", " ", "a", "a b  c ", "trailing space ")

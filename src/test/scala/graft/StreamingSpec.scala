@@ -111,6 +111,19 @@ class StreamingSpec extends SparkTestBase {
         s"missing=${expect.diff(got).take(3)}")
   }
 
+  test("windowedCountsParquetJob (append + watermark eviction) == batch hourly agg on sf0.001 events") {
+    val eventsPath = "/root/testdata/sf0.001/events.parquet"
+    val got = Streaming.windowedCountsParquetJob(spark, eventsPath, tmpDir("graft-stw-job"))
+      .as[(Long, String, Long)].collect().toSet
+    val expect = spark.read.parquet(eventsPath)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_sec"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got.nonEmpty && got == expect,
+      s"stream/batch windowed agg diverged: extra=${got.diff(expect).take(3)} " +
+        s"missing=${expect.diff(got).take(3)}")
+  }
+
   test("streaming windowed aggregation over a file source (memory sink)") {
     val dir = tmpDir("graft-stream")
     val events = Seq(
