@@ -322,8 +322,17 @@ object Bench {
     // maxPairs (≤2× cap) run while the budget allows and per-turn costs are
     // still converging (see stillImproving below)
     val hardCapPairs = maxPairs * 2
-    if (elapsed < 0.4 * budgetSec)
-      pipelineRun(hiCores, math.max(nConv / 10, 200)) // warmup: JIT/codegen/heap-touch
+    // Warm up BOTH configs before the first measured pair. C2 keeps
+    // compiling across trials (per-trial sessions share the JVM; observed
+    // best per-turn cost falling 4× from a cold to a warm trial), and a
+    // warmup that only touches the hi config leaves the first lo trial cold
+    // — a 500-1400 s trial that the clean rule then rightly discards, which
+    // at driver budgets was the difference between 1 pair and 3. nConv/5
+    // (~2 min combined) buys pair 1 admissible for both configs.
+    if (elapsed < 0.4 * budgetSec) {
+      pipelineRun(hiCores, math.max(nConv / 5, 200))
+      pipelineRun(loCores, math.max(nConv / 5, 200))
+    }
     var pair = 0
     // Extend past maxPairs while the measurement is still CONVERGING: if the
     // latest qualified trial of either config set a new best per-turn CPU
