@@ -167,7 +167,7 @@ object SparkEntry {
       val m = Extract.mentions(TpchKg.turns(s, dir), TpchKg.gazetteer(s, dir))
         .select(col("norm"), col("conv_id"))
       graft.operators.Salting.saltedAgg(m, Seq("norm"), Seq("conv_id"),
-          salts = 8, samplePerKey = 5)
+          samplePerKey = 5)
         .select(col("norm"), col("n_mentions"),
           concat_ws(",", col("sample_conv_ids")).as("sample_ids"))
     }),

@@ -196,6 +196,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_fnv64", es => Fnv64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_fingerprint", es => RollingFingerprint(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash", es => Simhash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_bounded_min_set", es => {
+      val e = es(1)
+      if (!e.foldable) throw new IllegalArgumentException(
+        s"graft_bounded_min_set: k must be a literal, got non-foldable ${e.sql}")
+      BoundedMinSet(es.head, e.eval().asInstanceOf[Number].intValue())
+    }, "built-in")
     reg.createOrReplaceTempFunction("graft_hyperplane_sig", es => {
       // SQL callers pass integer literals (IntegerType); Column callers pass
       // lit(Long) — accept any foldable numeric and coerce, instead of a
@@ -218,6 +224,9 @@ object GraftFunctions {
   def fnv64(c: Column): Column = { ensure(); call_function("graft_fnv64", c) }
   def fingerprint(c: Column): Column = { ensure(); call_function("graft_fingerprint", c) }
   def simhash64(c: Column): Column = { ensure(); call_function("graft_simhash", c) }
+  /** k smallest distinct values of `c`, sorted ascending ([[BoundedMinSet]]). */
+  def boundedMinSet(c: Column, k: Int): Column =
+    { ensure(); call_function("graft_bounded_min_set", c, lit(k)) }
   def hyperplaneSig(c: Column, numPlanes: Int, dim: Int, seed: Long): Column = {
     ensure()
     call_function("graft_hyperplane_sig", c, lit(numPlanes), lit(dim), lit(seed))

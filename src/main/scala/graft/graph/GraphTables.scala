@@ -45,12 +45,13 @@ object Materialize {
     // Grouped by id ONLY (ids are unique node keys); the display name rides
     // along as min(name) so two raw surfaces sharing a norm-derived id (e.g.
     // case variants of an unresolved surface) collapse into one node row.
-    // Bounded provenance samples go through the salted window path.
+    // Count, min(name) and the bounded provenance sample all ride ONE
+    // partial-aggregated shuffle (BoundedMinSet caps the sample buffer at k
+    // map-side, so the hub key never carries group-sized state).
     val sides = c.select(col("subj_id").as("id"), col("subj_name").as("name"), col("conv_id"))
       .unionByName(c.select(col("obj_id").as("id"), col("obj_name").as("name"), col("conv_id")))
     val counted = Salting.saltedAgg(
-      sides, Seq("id"), Seq("conv_id"), salts = 16, samplePerKey = 8,
-      minCols = Seq("name"))
+      sides, Seq("id"), Seq("conv_id"), samplePerKey = 8, minCols = Seq("name"))
 
     val labeled = entityTypes match {
       case Some(types) =>

@@ -1,55 +1,45 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Explicit skew handling for aggregations whose payload is NOT
-  * partial-agg-friendly. Exact counts don't need help (map-side combine
-  * absorbs hub keys); the dangerous part is collect-style payloads, where a
-  * hub key's collected set grows with group size inside the aggregation
-  * buffer.
+import graft.functions.GraftFunctions
+
+/** Skew-safe aggregation for payloads that are NOT naturally
+  * partial-agg-friendly. Exact counts and minima never need help (map-side
+  * combine absorbs hub keys); the dangerous payload is the collect-style
+  * sample, where a naive `collect_set` buffer grows with group size.
   *
-  * Strategy for bounded deterministic samples with bounded memory:
-  *  1. distinct (key, sample) — hash-agg with O(1) state per row;
-  *  2. deterministic salt = hash(sample) % salts, then a row_number window
-  *     per (key, salt) — the window sort is spill-able (sort-based,
-  *     disk-backed), so a hub key never holds its group in memory; rank ≤ k;
-  *  3. final per-key merge collects ≤ salts × k rows — constant-bounded.
-  * Never rand(): salts are content-derived so retries/resume reproduce
-  * identical results.
+  * Strategy (round 5 — supersedes the distinct→salt→window plan): the sample
+  * is computed by [[graft.functions.BoundedMinSet]], a typed-imperative
+  * aggregate whose buffer holds at most k values at EVERY level — map-side
+  * partial buffers cap at k, merge caps at k — so a hub key contributes one
+  * O(k) buffer per map partition and the whole aggregation is ONE
+  * partial-agged shuffle shared with count/min. The previous plan shuffled
+  * the full input twice (corpus-wide distinct, then a window sort per
+  * (key, salt)); at 26M turns that stage went superlinear under spill —
+  * bounded partial aggregation removes both shuffles and the skew with them.
   */
 object Salting {
 
   /** groupBy(keyCols) computing: n_mentions = exact count (plain
-    * partial-aggregated count — skew-safe by itself), sample_conv_ids =
-    * deterministic bounded sample (smallest `samplePerKey` distinct values
-    * of `sampleCol`), plus `minCols` carried as per-key minima.
+    * partial-aggregated count), sample_conv_ids = deterministic bounded
+    * sample (smallest `samplePerKey` distinct values of `sampleCols.head`,
+    * sorted ascending), plus `minCols` carried as per-key minima — all in a
+    * single partial-aggregated groupBy.
     */
   def saltedAgg(
       df: DataFrame,
       keyCols: Seq[String],
       sampleCols: Seq[String],
-      salts: Int,
       samplePerKey: Int,
       minCols: Seq[String] = Nil): DataFrame = {
     val sampleCol = sampleCols.head
     val keys = keyCols.map(col)
-
-    val aggExprs = count(lit(1)).as("n_mentions") +: minCols.map(c => min(col(c)).as(c))
-    val counts = df.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*)
-
-    val distinctSamples = df.select((keyCols :+ sampleCol).map(col): _*).distinct()
-      .withColumn("_salt", pmod(xxhash64(col(sampleCol)), lit(salts)))
-    val w = Window.partitionBy((keyCols :+ "_salt").map(col): _*).orderBy(col(sampleCol))
-    val bounded = distinctSamples
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") <= samplePerKey)
-    val samples = bounded.groupBy(keys: _*)
-      .agg(slice(sort_array(collect_list(col(sampleCol))), 1, samplePerKey)
-        .as("sample_conv_ids"))
-
-    counts.join(samples, keyCols, "left_outer")
+    val aggExprs = count(lit(1)).as("n_mentions") +:
+      (minCols.map(c => min(col(c)).as(c)) :+
+        GraftFunctions.boundedMinSet(col(sampleCol), samplePerKey).as("sample_conv_ids"))
+    df.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*)
   }
 
   /** Deterministically salted repartition: spreads a hot key's rows across

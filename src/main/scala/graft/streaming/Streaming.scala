@@ -14,6 +14,37 @@ object Streaming {
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** Populate `destDir` with ZERO-COPY links to the parquet data file(s) at
+    * `srcPath` (a single file or a directory of part files): hard link when
+    * the filesystems allow it, symlink otherwise, byte copy only as a last
+    * resort. This is what lets the bounded-replay gate jobs stream a table
+    * without duplicating the corpus (readStream requires a directory, and
+    * the driver's tables are single parquet files); a production stream
+    * reads its table directory directly and needs no staging at all.
+    */
+  private[streaming] def linkInto(srcPath: String, destDir: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val dest = Paths.get(destDir)
+    Files.createDirectories(dest)
+    def link1(f: Path): Unit = {
+      val t = dest.resolve(f.getFileName.toString)
+      try { Files.createLink(t, f); () }
+      catch { case _: Exception =>
+        try { Files.createSymbolicLink(t, f.toAbsolutePath); () }
+        catch { case _: Exception => Files.copy(f, t); () }
+      }
+    }
+    val src = Paths.get(srcPath)
+    if (Files.isDirectory(src)) {
+      val s = Files.list(src)
+      try s.filter(p => Files.isRegularFile(p) && {
+          val n = p.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        }).forEach(p => link1(p))
+      finally s.close()
+    } else link1(src)
+  }
+
   final case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, total_value: Double)
 
@@ -138,25 +169,41 @@ object Streaming {
     // the parquet ts column is TIMESTAMP_NTZ; the session runs UTC, so the
     // cast to (ltz) TIMESTAMP — what the Event encoder and unix_millis
     // expect — is lossless
-    val events = spark.read.parquet(eventsPath)
+    val raw = spark.read.parquet(eventsPath)
+    val rawCols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val events = raw
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
     val maxTsMs = events.agg(max(unix_millis(col("ts")))).as[Long].head()
     // sentinel strictly more than gap + watermark past every real event
     val sentinelMs = maxTsMs + gapSec * 1000L + 60000L
-    val sentinels = events.select(col("user_id")).distinct()
-      .select(lit(-1L).as("event_id"), timestamp_millis(lit(sentinelMs)).as("ts"),
+    // Stage = hard-link the corpus files into prepDir (zero-copy; readStream
+    // needs a directory, and the driver's table is a single parquet file),
+    // then APPEND only the sentinel rows (one tiny file per user set). The
+    // corpus is never rewritten — round-4 finding: the previous prep step
+    // copied the entire events table per run, a second full corpus
+    // materialization before the stream even started. The sentinel file
+    // carries the RAW ts type (TIMESTAMP_NTZ) so the dir has one schema.
+    Streaming.linkInto(eventsPath, prepDir)
+    val tsRawType = raw.schema("ts").dataType
+    events.select(col("user_id")).distinct()
+      .select(lit(-1L).as("event_id"),
+        timestamp_millis(lit(sentinelMs)).cast(tsRawType).as("ts"),
         col("user_id"), lit("__sentinel").as("event_type"), lit(0.0).as("value"))
-    events.unionByName(sentinels).write.parquet(prepDir)
+      .write.mode("append").parquet(prepDir)
 
     // one micro-batch for the whole prep dir: FileStreamSource's default
     // maxFilesPerTrigger (1000) would split a >1000-file prep dir into
     // several batches with no event-time ordering — if the sentinel file
     // landed in an early batch the watermark would advance past every real
     // event and later batches would be silently dropped
+    val streamSchema = org.apache.spark.sql.types.StructType(rawCols.map(raw.schema(_)))
     val stream = spark.readStream
       .option("maxFilesPerTrigger", Int.MaxValue)
-      .schema(events.schema).parquet(prepDir).as[Event]
+      .schema(streamSchema).parquet(prepDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
     val q = sessionizeStream(stream, gapSec)
       .writeStream
       .outputMode("append")
@@ -205,8 +252,7 @@ object Streaming {
     */
   def windowedCountsParquetJob(spark: org.apache.spark.sql.SparkSession,
       eventsPath: String, workDir: String,
-      windowDur: String = "1 hour", watermark: String = "10 seconds",
-      sentinelLeadMs: Long = 3600000L + 10000L + 60000L): DataFrame = {
+      windowDur: String = "1 hour", watermark: String = "10 seconds"): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val prepDir = s"$workDir/input"
     val outDir = s"$workDir/windows"
@@ -216,17 +262,36 @@ object Streaming {
     fs.delete(new org.apache.hadoop.fs.Path(workDir), true)
 
     import spark.implicits._
-    val events = spark.read.parquet(eventsPath)
+    val raw = spark.read.parquet(eventsPath)
+    val rawCols = Seq("ts", "event_type", "value")
+    val events = raw
       .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
     val maxTsMs = events.agg(max(unix_millis(col("ts")))).as[Long].head()
-    val sentinel = spark.range(1).select(
-      timestamp_millis(lit(maxTsMs + sentinelLeadMs)).as("ts"),
+    // sentinel lead DERIVED from the actual windowDur + watermark (not a
+    // fixed default silently coupled to "1 hour"): the watermark must end up
+    // strictly past the END of the window containing the last real event, or
+    // append mode never emits the final windows — silent row loss. Evaluated
+    // with the engine's own window/interval arithmetic so any parsable
+    // duration strings stay consistent with the streaming plan.
+    val sentinelMs = spark.range(1)
+      .select(window(timestamp_millis(lit(maxTsMs)), windowDur).as("w"))
+      .select(unix_millis(col("w").getField("end") + expr(s"INTERVAL $watermark")) + lit(60000L))
+      .as[Long].head()
+    // hard-link the corpus in, append only the one sentinel row — the corpus
+    // is never rewritten (see sessionizeParquetJob); raw ts type keeps the
+    // prep dir single-schema
+    Streaming.linkInto(eventsPath, prepDir)
+    val tsRawType = raw.schema("ts").dataType
+    spark.range(1).select(
+      timestamp_millis(lit(sentinelMs)).cast(tsRawType).as("ts"),
       lit("__sentinel").as("event_type"), lit(0.0).as("value"))
-    events.unionByName(sentinel).write.parquet(prepDir)
+      .write.mode("append").parquet(prepDir)
 
+    val streamSchema = org.apache.spark.sql.types.StructType(rawCols.map(raw.schema(_)))
     val stream = spark.readStream
       .option("maxFilesPerTrigger", Int.MaxValue) // single batch — see sessionizeParquetJob
-      .schema(events.schema).parquet(prepDir)
+      .schema(streamSchema).parquet(prepDir)
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
     val q = windowedCounts(stream, windowDur, watermark)
       .writeStream
       .outputMode("append")

@@ -171,13 +171,29 @@ class OpsSpec extends SparkTestBase {
   test("salted aggregation = plain groupBy counts, bounded deterministic samples") {
     val rows = (0 until 1000).map(i => (i % 7L, s"name${i % 7}", s"conv-${i % 50}"))
       .toDF("id", "name", "conv_id")
-    val salted = Salting.saltedAgg(rows, Seq("id", "name"), Seq("conv_id"), salts = 8, samplePerKey = 5)
-      .select(col("id"), col("n_mentions"), size(col("sample_conv_ids")).as("ns"))
-      .as[(Long, Long, Int)].collect()
+    val salted = Salting.saltedAgg(rows, Seq("id", "name"), Seq("conv_id"), samplePerKey = 5)
+      .select(col("id"), col("n_mentions"), col("sample_conv_ids"))
+      .as[(Long, Long, Seq[String])].collect()
     val plain = rows.groupBy("id").count().as[(Long, Long)].collect().toMap
-    salted.foreach { case (id, n, ns) =>
+    salted.foreach { case (id, n, sample) =>
       assert(n == plain(id))
-      assert(ns == 5)
+      assert(sample.length == 5)
+      // exactly the k smallest distinct values, sorted ascending
+      val expect = (0 until 1000).filter(i => i % 7 == id).map(i => s"conv-${i % 50}")
+        .distinct.sorted.take(5)
+      assert(sample == expect)
+    }
+  }
+
+  test("bounded_min_set: caps at k, dedups, survives multi-partition merge") {
+    val df = spark.range(0, 10000, 1, 16) // 16 partitions force partial merges
+      .select((col("id") % 100).as("k"), concat(lit("v"), format_string("%04d", col("id") % 500)).as("v"))
+    val out = df.groupBy("k").agg(GraftFunctions.boundedMinSet(col("v"), 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    (0L until 100L).foreach { k =>
+      // values for key k: v%04d where id%100==k → id%500 ∈ {k, k+100, ..., k+400}
+      val expect = (0 until 5).map(j => f"v${k + 100 * j}%04d").sorted.take(3)
+      assert(out(k) == expect, s"key $k")
     }
   }
 
