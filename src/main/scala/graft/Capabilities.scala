@@ -25,6 +25,14 @@ object Capabilities {
     // string-query entry for the reference's own MATCH fragment
     // (api/MemCypherSession.scala:76; parser = graph/CypherLite.scala)
     "cypher_match_subset",
+    // round 5: relationship variables with type/startNode/endNode (reference
+    // rel-value surface, impl/value/CypherMapOps.scala:43-45 + rel rows at
+    // api/MemCypherGraph.scala:129-140), aggregating RETURN with implicit
+    // grouping (api/MemCypherRecords.scala:99-162), and multi-pattern MATCH
+    // planned CartesianProduct-style (MemOperatorProducer.scala:115-118)
+    "cypher_rel_binding",
+    "cypher_return_aggregates",
+    "cypher_multi_pattern",
     "node_scan_label_pruned",
     "rel_scan_type_pruned",
     "alias",

@@ -251,6 +251,31 @@ object SparkEntry {
       graft.graph.CypherLite.run(kgPattern(s, dir),
         "MATCH (x)-[:LIVES_IN]-(y) " +
           "RETURN DISTINCT x.name AS x_name, y.name AS y_name")),
+    // relationship-variable binding in the string entry (reference rel-value
+    // surface: impl/value/CypherMapOps.scala:43-45 Type/StartNode/EndNode;
+    // rel rows flattened at api/MemCypherGraph.scala:129-140): runs over the
+    // PROVENANCE edge view (rel properties = conv_id/turn_idx), r binds with
+    // storage orientation, r.prop and type(r) project rel columns.
+    "kg_cypher_rel" -> ((s, dir) => {
+      val g = kgGraph(s, dir)
+      graft.graph.CypherLite.run(PatternMatch(g.nodes, g.edges),
+        "MATCH (n:Customer)-[r:LIVES_IN]->(a) " +
+          "RETURN DISTINCT n.name AS n_name, r.conv_id AS conv_id, type(r) AS rel_type")
+    }),
+    // aggregating RETURN with Cypher's implicit grouping (reference
+    // api/MemCypherRecords.scala:99-162): non-aggregated items group, the
+    // rest aggregate — parsed into one groupBy/agg plan.
+    "kg_cypher_agg" -> ((s, dir) =>
+      graft.graph.CypherLite.run(kgPattern(s, dir),
+        "MATCH (c:Customer)-[:LIVES_IN]->(n) " +
+          "RETURN n.name AS nation, count(*) AS n_cust, min(c.name) AS first_cust")),
+    // multi-pattern MATCH (reference plans comma patterns as
+    // CartesianProduct, MemOperatorProducer.scala:115-118): paths sharing a
+    // node variable equi-join on its binding; disjoint paths cross-join.
+    "kg_cypher_multi" -> ((s, dir) =>
+      graft.graph.CypherLite.run(kgPattern(s, dir),
+        "MATCH (c:Customer)-[:LIVES_IN]->(n), (n)-[:LOCATED_IN]->(r) " +
+          "RETURN DISTINCT c.name AS c_name, r.name AS r_name")),
     // Demo shape (reference apps/Demo.scala:31-42): label scan + project +
     // ORDER BY over node properties.
     "kg_match_demo" -> ((s, dir) =>
@@ -549,6 +574,20 @@ object SparkEntry {
     "kg_cypher_undir" ->
       (s"WITH b AS ($B) SELECT DISTINCT c_name AS x_name, n_name AS y_name FROM b " +
         "UNION SELECT n_name AS x_name, c_name AS y_name FROM b"),
+    // rel binding on the provenance view: every LIVES_IN edge carries its
+    // conversation; type(r) is the edge's rel_type column
+    "kg_cypher_rel" ->
+      (s"WITH b AS ($B) SELECT DISTINCT c_name AS n_name, conv_id, " +
+        "'LIVES_IN' AS rel_type FROM b"),
+    // implicit grouping over the name-distinct edge view: one LIVES_IN edge
+    // per (customer, nation) pair
+    "kg_cypher_agg" ->
+      (s"WITH b AS ($B), d AS (SELECT DISTINCT c_name, n_name FROM b) " +
+        "SELECT n_name AS nation, COUNT(*) AS n_cust, MIN(c_name) AS first_cust " +
+        "FROM d GROUP BY n_name"),
+    // shared-variable multi-pattern ≡ the 2-hop join through nation
+    "kg_cypher_multi" ->
+      s"WITH b AS ($B) SELECT DISTINCT c_name, r_name FROM b",
 
     "q01_scan_filter" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_quantity > 45",

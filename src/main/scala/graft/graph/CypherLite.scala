@@ -11,29 +11,53 @@ import org.apache.spark.sql.functions._
   * reference's own tests and apps exercise — plus the runtime surface the
   * reference's evaluator supports beyond them: parameters
   * (impl/value/CypherMapOps.scala:39-41 `Param`, entering at
-  * api/MemCypherSession.scala:70 `cypher(query, parameters, …)`) and
-  * disjunction (`Ors`, CypherMapOps.scala:78-80) — and rejects everything
-  * else with a clear error (the full grammar stays pinned in
-  * [[graft.Capabilities.unsupported]] as `cypher_full_grammar`).
+  * api/MemCypherSession.scala:70 `cypher(query, parameters, …)`),
+  * disjunction (`Ors`, CypherMapOps.scala:78-80), relationship values with
+  * `type`/`startNode`/`endNode` (CypherMapOps.scala:43-45; rel rows
+  * flattened at api/MemCypherGraph.scala:129-140), aggregating RETURN
+  * (api/MemCypherRecords.scala:99-162) and multi-pattern MATCH (planned as
+  * CartesianProduct, impl/planning/MemOperatorProducer.scala:115-118) — and
+  * rejects everything else with a clear error (the full grammar stays pinned
+  * in [[graft.Capabilities.unsupported]] as `cypher_full_grammar`).
   *
   * Supported:
   * {{{
-  * MATCH (n[:Label[:Label2]])(rel (m[:Label]))*
-  *   rel := -->|--|<-- | -[[r][:TYPE]]-> | <-[[r][:TYPE]]- | -[[r][:TYPE]]-
+  * MATCH path [, path ...]
+  *   path := (n[:Label[:Label2]])(rel (m[:Label]))*
+  *   rel  := -->|--|<-- | -[[r][:TYPE]]-> | <-[[r][:TYPE]]- | -[[r][:TYPE]]-
   * [WHERE disjunct [OR disjunct ...]]      disjunct := cond [AND cond ...]
-  *   cond := v.prop (=|<>|<|<=|>|>=) (literal|$param) | v.prop IS [NOT] NULL
-  * RETURN [DISTINCT] item [, item ...]     item := v | v.prop [AS alias]
+  *   cond := ref (=|<>|<|<=|>|>=) (literal|$param) | ref IS [NOT] NULL
+  *   ref  := v.prop | type(r) | startNode(r) | endNode(r)
+  * RETURN [DISTINCT] item [, item ...]
+  *   item := v | ref [AS alias] | agg [AS alias]
+  *   agg  := count(*) | count([DISTINCT] ref) | min(ref) | max(ref)
+  *        | sum(ref) | collect(ref)
   * [ORDER BY key [ASC|DESC] [, ...]]       key  := v.prop | alias
   * [LIMIT (k|$param)]
   * }}}
   *
-  * AND binds tighter than OR (standard precedence; no parentheses — the
-  * reference's evaluator likewise only reduces flat And/Or lists). Reverse
-  * arrows desugar to the flipped expand; undirected hops to a bag-union of
-  * both directions (each relationship matches once per direction binding,
-  * per Cypher semantics). Parameters substitute as typed literals at plan
-  * build time — the Catalyst equivalent of the reference resolving `Param`
-  * against the runtime context per row.
+  * Semantics notes:
+  *  - AND binds tighter than OR (standard precedence; no parentheses — the
+  *    reference's evaluator likewise only reduces flat And/Or lists).
+  *  - Reverse arrows desugar to the flipped expand; undirected hops to a bag
+  *    union of both directions (each relationship matches once per direction
+  *    binding, per Cypher) EXCEPT self-loops, which match exactly once (both
+  *    direction bindings of a loop are the same binding — Neo4j semantics).
+  *  - Relationship variables always bind with STORAGE orientation:
+  *    `startNode(r)`/`endNode(r)` (surfaced as `r_src`/`r_dst`) report the
+  *    stored endpoints regardless of which way the arrow was traversed.
+  *  - Multiple comma-separated paths combine like the reference's
+  *    CartesianProduct planning: disjoint paths cross-join; paths sharing a
+  *    node variable equi-join on that variable's binding.
+  *  - Aggregates in RETURN group by the non-aggregated items (Cypher's
+  *    implicit grouping). `collect` is the engine's deterministic collect
+  *    (sorted ascending), matching the programmatic operator (q06).
+  *  - Parameters substitute as typed literals at plan build time — the
+  *    Catalyst equivalent of the reference resolving `Param` per row.
+  *  - Quote escapes (`\'` or `''`) are OUTSIDE the fragment and rejected
+  *    up front (a ParseError, never a silent misparse); whitespace is
+  *    normalized only outside string literals, so literal values survive
+  *    verbatim.
   *
   * Unaliased `v.prop` items surface under the binding-convention name
   * `v_prop` (RecordHeader naming, impl/table/RecordHeaderUtils.scala:23-27);
@@ -45,13 +69,15 @@ import org.apache.spark.sql.functions._
 object CypherLite {
 
   final case class ParseError(msg: String) extends IllegalArgumentException(
-    s"CypherLite: $msg (supported fragment: MATCH path [WHERE ...] RETURN [DISTINCT] items [ORDER BY ...] [LIMIT n])")
+    s"CypherLite: $msg (supported fragment: MATCH path[, path ...] [WHERE ...] RETURN [DISTINCT] items [ORDER BY ...] [LIMIT n])")
 
   private val nodeRe = """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*((?::[A-Za-z_][A-Za-z0-9_]*)*)\s*\)""".r
   // one regex for every arrow form; a hop with both '<' and '>' is rejected
   private val relRe =
-    """(<)?-(?:\[\s*(?:[A-Za-z_][A-Za-z0-9_]*)?\s*(?::([A-Za-z_][A-Za-z0-9_]*))?\s*\])?-(>)?""".r
+    """(<)?-(?:\[\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::([A-Za-z_][A-Za-z0-9_]*))?\s*\])?-(>)?""".r
   private val propRe = """([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)""".r
+  private val funcRe = """(?i)(type|startnode|endnode)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
+  private val aggRe = """(?i)(count|min|max|sum|collect)\s*\(\s*(.+?)\s*\)""".r
 
   private sealed trait Dir
   private case object Out extends Dir
@@ -59,6 +85,7 @@ object CypherLite {
   private case object Both extends Dir
 
   private final case class Node(v: String, labels: Set[String])
+  private final case class PathPlan(df: DataFrame, nodeVars: Set[String], relVars: Set[String])
 
   /** Uppercased copy of `q` with the contents of single-quoted string
     * literals blanked to spaces: all keyword/operator searches run on this
@@ -66,6 +93,8 @@ object CypherLite {
     * splits a clause), while substrings are extracted from the original.
     * ASCII-only uppercase — String.toUpperCase can change LENGTH under
     * locale rules (ß→SS), which would misalign the indices used to slice.
+    * Escape sequences cannot desynchronize the quote tracking because
+    * [[normalize]] rejected them before this runs.
     */
   private def maskedUpper(q: String): String = {
     val out = new Array[Char](q.length)
@@ -79,6 +108,34 @@ object CypherLite {
       i += 1
     }
     new String(out)
+  }
+
+  /** Collapse whitespace runs to single spaces OUTSIDE string literals only
+    * (inside a literal every character is data), after rejecting the quote
+    * escapes the fragment does not support — `\'` or `''` would flip the
+    * quote tracking mid-literal and silently misparse everything after.
+    */
+  private def normalize(q0: String): String = {
+    val q = q0.trim
+    if (q.contains("\\'"))
+      throw ParseError("""escaped quotes (\') inside string literals are not in the supported fragment""")
+    if (q.contains("''"))
+      throw ParseError("doubled-quote escapes ('') — and empty string literals — are not in the supported fragment")
+    val sb = new StringBuilder(q.length)
+    var inQuote = false
+    var lastWs = false
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '\'') { inQuote = !inQuote; sb.append(c); lastWs = false }
+      else if (!inQuote && Character.isWhitespace(c)) {
+        if (!lastWs) sb.append(' ')
+        lastWs = true
+      } else { sb.append(c); lastWs = false }
+      i += 1
+    }
+    if (inQuote) throw ParseError("unterminated string literal")
+    sb.toString
   }
 
   private def wordBoundary(masked: String, start: Int, len: Int): Boolean = {
@@ -121,7 +178,7 @@ object CypherLite {
     * `cypher(query, parameters, …)` surface, api/MemCypherSession.scala:70).
     */
   def run(pm: PatternMatch, query: String, params: Map[String, Any] = Map.empty): DataFrame = {
-    val q = query.trim.replaceAll("\\s+", " ")
+    val q = normalize(query)
     val upper = maskedUpper(q)
     for (kw <- Seq("OPTIONAL MATCH", "CREATE", "MERGE", "DELETE", "SET", "UNION", "SKIP", "WITH"))
       if (findKw(upper, kw) >= 0) throw ParseError(s"'$kw' is not in the supported fragment")
@@ -149,23 +206,8 @@ object CypherLite {
       catch { case _: NumberFormatException => throw ParseError(s"LIMIT expects an integer, got '$raw'") }
     } else None
 
-    // ---- pattern: (n[:L]) (rel (m[:L]))* — a single linear path ----
-    if (patternStr.contains(",")) throw ParseError("multi-pattern MATCH is not supported")
+    // ---- pattern: comma-separated linear paths ----
     if (patternStr.contains("*")) throw ParseError("var-length patterns are not supported")
-    val nodes = nodeRe.findAllMatchIn(patternStr).map(m =>
-      Node(m.group(1), Option(m.group(2)).filter(_.nonEmpty)
-        .map(_.split(":").filter(_.nonEmpty).toSet).getOrElse(Set.empty))).toList
-    if (nodes.isEmpty) throw ParseError(s"no node pattern found in '$patternStr'")
-    // only the path segments BETWEEN node patterns may contain arrows
-    val rels = relRe.findAllMatchIn(patternStr).map { m =>
-      val (lt, gt) = (m.group(1) != null, m.group(3) != null)
-      val dir: Dir =
-        if (lt && gt) throw ParseError(s"'${m.matched}' has both arrow heads")
-        else if (gt) Out else if (lt) In else Both
-      (Option(m.group(2)), dir)
-    }.toList
-    if (rels.length != nodes.length - 1)
-      throw ParseError(s"pattern must be a linear path: ${nodes.length} nodes need ${nodes.length - 1} relationships, got ${rels.length}")
 
     // reverse arrows run over the flipped edge view (dst⇄src swapped): the
     // same inner-join Expand, planned by Catalyst either way
@@ -175,6 +217,12 @@ object CypherLite {
         case "dst" => col("src").as("dst")
         case c => col(c)
       }.toSeq: _*))
+    // the undirected hop's second branch additionally EXCLUDES self-loops:
+    // both direction bindings of a loop edge are the same binding, so the
+    // forward branch already produced its one row (Neo4j returns one row for
+    // MATCH (a)-[r]-(b) on a loop)
+    lazy val flippedNoSelf = flippedPm.copy(
+      edges = flippedPm.edges.where(col("src") =!= col("dst")))
 
     // label constraints on non-head nodes apply as a post-hop filter —
     // Catalyst pushes it down into the expand join's node-scan side, so the
@@ -182,50 +230,165 @@ object CypherLite {
     def labelFilter(df: DataFrame, n: Node): DataFrame =
       n.labels.foldLeft(df)((d, l) => d.where(array_contains(col(s"${n.v}_labels"), l)))
 
-    var bound = pm.scan(nodes.head.v, nodes.head.labels)
-    nodes.zip(nodes.tail).zip(rels).foreach { case ((from, to), (relType, dir)) =>
-      val hopped = dir match {
-        case Out => pm.expand(bound, from.v, to.v, relType.toSet)
-        case In => flippedPm.expand(bound, from.v, to.v, relType.toSet)
-        case Both => // bag union: one row per relationship per direction binding
-          pm.expand(bound, from.v, to.v, relType.toSet)
-            .unionByName(flippedPm.expand(bound, from.v, to.v, relType.toSet))
-      }
-      bound = labelFilter(hopped, to)
-    }
-    val vars = nodes.map(_.v).toSet
+    // rel binding with storage orientation: an In-hop runs over the flipped
+    // view, so its bound r_src/r_dst arrive swapped — swap them back (one
+    // select projection: withColumnsRenamed applies its map sequentially and
+    // cannot express a swap)
+    def unflip(df: DataFrame, rv: String): DataFrame =
+      df.select(df.columns.map {
+        case c if c == s"${rv}_src" => col(c).as(s"${rv}_dst")
+        case c if c == s"${rv}_dst" => col(c).as(s"${rv}_src")
+        case c => col(c)
+      }.toSeq: _*)
 
-    def propCol(v: String, p: String): Column = {
-      if (!vars.contains(v)) throw ParseError(s"unknown variable '$v'")
-      col(s"${v}_$p")
+    def planPath(pathStr: String): PathPlan = {
+      val nodes = nodeRe.findAllMatchIn(pathStr).map(m =>
+        Node(m.group(1), Option(m.group(2)).filter(_.nonEmpty)
+          .map(_.split(":").filter(_.nonEmpty).toSet).getOrElse(Set.empty))).toList
+      if (nodes.isEmpty) throw ParseError(s"no node pattern found in '$pathStr'")
+      val vs = nodes.map(_.v)
+      if (vs.distinct.length != vs.length)
+        throw ParseError(s"repeated variable in a single path '$pathStr' (cycle closing is the programmatic expandInto)")
+      val rels = relRe.findAllMatchIn(pathStr).map { m =>
+        val (lt, gt) = (m.group(1) != null, m.group(4) != null)
+        val dir: Dir =
+          if (lt && gt) throw ParseError(s"'${m.matched}' has both arrow heads")
+          else if (gt) Out else if (lt) In else Both
+        (Option(m.group(2)), Option(m.group(3)), dir)
+      }.toList
+      if (rels.length != nodes.length - 1)
+        throw ParseError(s"pattern must be a linear path: ${nodes.length} nodes need ${nodes.length - 1} relationships, got ${rels.length}")
+
+      var bound = pm.scan(nodes.head.v, nodes.head.labels)
+      nodes.zip(nodes.tail).zip(rels).foreach { case ((from, to), (relVar, relType, dir)) =>
+        val hopped = dir match {
+          case Out => pm.expand(bound, from.v, to.v, relType.toSet, relVar)
+          case In =>
+            val h = flippedPm.expand(bound, from.v, to.v, relType.toSet, relVar)
+            relVar.fold(h)(rv => unflip(h, rv))
+          case Both => // bag union minus the double-counted self-loop binding
+            val fwd = pm.expand(bound, from.v, to.v, relType.toSet, relVar)
+            val bwd = flippedNoSelf.expand(bound, from.v, to.v, relType.toSet, relVar)
+            fwd.unionByName(relVar.fold(bwd)(rv => unflip(bwd, rv)))
+        }
+        bound = labelFilter(hopped, to)
+      }
+      PathPlan(bound, nodes.map(_.v).toSet, rels.flatMap(_._1).toSet)
     }
+
+    // comma-separated paths combine like the reference's CartesianProduct
+    // planning (MemOperatorProducer.scala:115-118): disjoint → cross join;
+    // shared node variables → equi-join on every shared binding column
+    // (id equality implies the rest — the using-join also dedups columns)
+    val plans = pathStr2Paths(patternStr).map(planPath)
+    val combined = plans.reduceLeft { (acc, p) =>
+      if ((acc.relVars intersect p.relVars).nonEmpty)
+        throw ParseError(s"relationship variable reused across paths: ${(acc.relVars intersect p.relVars).mkString(", ")}")
+      if ((acc.nodeVars intersect p.nodeVars).isEmpty)
+        PathPlan(acc.df.crossJoin(p.df), acc.nodeVars ++ p.nodeVars, acc.relVars ++ p.relVars)
+      else {
+        val shared = acc.nodeVars intersect p.nodeVars
+        val sharedCols = p.df.columns.filter(c => shared.exists(v => c.startsWith(s"${v}_"))).toSeq
+        PathPlan(acc.df.join(p.df, sharedCols), acc.nodeVars ++ p.nodeVars, acc.relVars ++ p.relVars)
+      }
+    }
+    var bound = combined.df
+    val nodeVars = combined.nodeVars
+    val relVars = combined.relVars
+    val vars = nodeVars ++ relVars
+
+    /** `v.prop` / `type(r)` / `startNode(r)` / `endNode(r)` → binding column. */
+    def resolveRef(s: String): Option[(Column, String)] = s.trim match {
+      case propRe(v, p) =>
+        if (!vars.contains(v)) throw ParseError(s"unknown variable '$v'")
+        Some((col(s"${v}_$p"), s"${v}_$p"))
+      case funcRe(f, r) =>
+        if (!relVars.contains(r)) throw ParseError(s"'$f' expects a relationship variable, got '$r'")
+        val c = f.toLowerCase match {
+          case "type" => s"${r}_rel_type"
+          case "startnode" => s"${r}_src"
+          case "endnode" => s"${r}_dst"
+        }
+        Some((col(c), c))
+      case _ => None
+    }
+    def ref(s: String): Column =
+      resolveRef(s).getOrElse(throw ParseError(s"unsupported expression '$s'"))._1
 
     // ---- WHERE: OR of AND-conjunctions (AND binds tighter, standard
     // precedence; reference evaluates flat Ands/Ors lists the same way,
     // CypherMapOps.scala:74-80) ----
     whereStr.foreach { w =>
       val disjuncts = splitOn(w, "OR").map { d =>
-        splitOn(d, "AND").map(parseCond(_, propCol, params)).reduce(_ && _)
+        splitOn(d, "AND").map(parseCond(_, ref, params)).reduce(_ && _)
       }
       bound = bound.where(disjuncts.reduce(_ || _))
     }
 
-    // ---- RETURN ----
+    // ---- RETURN: plain refs, bare variables (splat), aggregates ----
     val distinct = maskedUpper(returnStr).startsWith("DISTINCT ")
     val itemsStr = if (distinct) returnStr.substring("DISTINCT ".length) else returnStr
-    val items: Seq[Column] = itemsStr.split(",").map(_.trim).toSeq.flatMap { it =>
-      val parts = splitOn(it, "AS")
-      val (expr, alias) = (parts.head, if (parts.length > 1) Some(parts(1)) else None)
-      expr match {
-        case propRe(v, p) => Seq(propCol(v, p).as(alias.getOrElse(s"${v}_$p")))
-        case v if vars.contains(v) =>
-          if (alias.isDefined) throw ParseError(s"AS on a bare variable '$v' is not supported")
-          bound.columns.filter(_.startsWith(s"${v}_")).toSeq.map(col)
-        case other => throw ParseError(s"unsupported RETURN item '$other'")
+
+    sealed trait Item { def c: Column; def name: String }
+    final case class Plain(c: Column, name: String) extends Item
+    final case class Agg(c: Column, name: String) extends Item
+
+    def parseAgg(fn: String, inner: String, alias: Option[String]): Agg = {
+      val f = fn.toLowerCase
+      val innerMasked = maskedUpper(inner)
+      (f, inner.trim) match {
+        case ("count", "*") => Agg(count(lit(1)).as(alias.getOrElse("count_all")), alias.getOrElse("count_all"))
+        case ("count", x) if innerMasked.startsWith("DISTINCT ") =>
+          val (c, n) = resolveRef(x.substring("DISTINCT ".length))
+            .getOrElse(throw ParseError(s"unsupported aggregate argument '$x'"))
+          val name = alias.getOrElse(s"count_distinct_$n")
+          Agg(countDistinct(c).as(name), name)
+        case (_, x) =>
+          val (c, n) = resolveRef(x).getOrElse(throw ParseError(s"unsupported aggregate argument '$x'"))
+          val name = alias.getOrElse(s"${f}_$n")
+          val e = f match {
+            case "count" => count(c)
+            case "min" => min(c)
+            case "max" => max(c)
+            case "sum" => sum(c)
+            // the engine's deterministic collect (order-pinned, like q06)
+            case "collect" => sort_array(collect_list(c))
+          }
+          Agg(e.as(name), name)
       }
     }
-    var out = bound.select(items: _*)
-    if (distinct) out = out.distinct()
+
+    val items: Seq[Item] = itemsStr.split(",").map(_.trim).toSeq.flatMap { it =>
+      val parts = splitOn(it, "AS")
+      val (expr, alias) = (parts.head.trim, if (parts.length > 1) Some(parts(1).trim) else None)
+      expr match {
+        case aggRe(fn, inner) => Seq(parseAgg(fn, inner, alias))
+        case _ => resolveRef(expr) match {
+          case Some((c, n)) =>
+            val name = alias.getOrElse(n)
+            Seq(Plain(c.as(name), name))
+          case None if vars.contains(expr) => // bare variable: splat its columns
+            if (alias.isDefined) throw ParseError(s"AS on a bare variable '$expr' is not supported")
+            bound.columns.filter(_.startsWith(s"${expr}_")).toSeq.map(c => Plain(col(c), c))
+          case None => throw ParseError(s"unsupported RETURN item '$expr'")
+        }
+      }
+    }
+    if (items.isEmpty) throw ParseError("RETURN needs at least one item")
+
+    val aggs = items.collect { case a: Agg => a }
+    var out =
+      if (aggs.isEmpty) {
+        val o = bound.select(items.map(_.c): _*)
+        if (distinct) o.distinct() else o
+      } else {
+        // Cypher's implicit grouping: non-aggregated items are the keys
+        if (distinct) throw ParseError("DISTINCT with aggregates is not in the supported fragment")
+        val keys = items.collect { case p: Plain => p.c }
+        bound.groupBy(keys: _*).agg(aggs.head.c, aggs.tail.map(_.c): _*)
+          // restore the written item order (groupBy puts keys first)
+          .select(items.map(i => col(i.name)): _*)
+      }
 
     // ---- ORDER BY ----
     orderStr.foreach { o =>
@@ -247,19 +410,28 @@ object CypherLite {
     out
   }
 
+  /** Split the MATCH clause into its comma-separated paths (no commas occur
+    * inside the node/rel syntax of the fragment).
+    */
+  private def pathStr2Paths(patternStr: String): List[String] = {
+    val paths = patternStr.split(",").map(_.trim).filter(_.nonEmpty).toList
+    if (paths.isEmpty) throw ParseError("empty MATCH pattern")
+    paths
+  }
+
   private def param(params: Map[String, Any], name: String): Any =
     params.getOrElse(name, throw ParseError(s"missing parameter $$$name"))
 
-  private def parseCond(s: String, propCol: (String, String) => Column,
+  private def parseCond(s: String, ref: String => Column,
       params: Map[String, Any]): Column = {
-    val notNullRe = """(?i)(\w+)\.(\w+) IS NOT NULL""".r
-    val nullRe = """(?i)(\w+)\.(\w+) IS NULL""".r
-    val cmpRe = """(\w+)\.(\w+)\s*(=|<>|<=|>=|<|>)\s*(.+)""".r
+    val notNullRe = """(?i)(.+?)\s+IS\s+NOT\s+NULL\s*""".r
+    val nullRe = """(?i)(.+?)\s+IS\s+NULL\s*""".r
+    val cmpRe = """(.+?)\s*(<=|>=|<>|=|<|>)\s*(.+)""".r
     s match {
-      case notNullRe(v, p) => propCol(v, p).isNotNull
-      case nullRe(v, p) => propCol(v, p).isNull
-      case cmpRe(v, p, op, rhs) =>
-        val c = propCol(v, p)
+      case notNullRe(l) => ref(l).isNotNull
+      case nullRe(l) => ref(l).isNull
+      case cmpRe(lhs, op, rhs) =>
+        val c = ref(lhs)
         val l = literal(rhs.trim, params)
         op match {
           case "=" => c === l

@@ -21,6 +21,7 @@ class CapabilitySpec extends AnyFunSuite {
   test("supported capability set is pinned (drift requires a two-file edit)") {
     val pinned = Set(
       "start_unit_table", "driving_table", "cypher_match_subset",
+      "cypher_rel_binding", "cypher_return_aggregates", "cypher_multi_pattern",
       "node_scan_label_pruned", "rel_scan_type_pruned",
       "alias", "project", "select_fields", "drop", "remove_aliases",
       "filter_three_valued", "distinct", "aggregate", "order_by", "limit",
@@ -74,6 +75,9 @@ class CapabilitySpec extends AnyFunSuite {
       "start_unit_table" -> "q17_unit_start",
       "driving_table" -> "kg_match_driving",
       "cypher_match_subset" -> "kg_cypher",
+      "cypher_rel_binding" -> "kg_cypher_rel",
+      "cypher_return_aggregates" -> "kg_cypher_agg",
+      "cypher_multi_pattern" -> "kg_cypher_multi",
       "streaming_sessionize" -> "st_sessions",
       "streaming_windowed_agg" -> "st_windowed",
       "node_scan_label_pruned" -> "kg_match_demo",

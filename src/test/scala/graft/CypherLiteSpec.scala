@@ -120,15 +120,82 @@ class CypherLiteSpec extends SparkTestBase {
     assert(res == Seq("Alice"))
   }
 
+  test("relationship variables bind with storage orientation (reference CypherMapOps.scala:43-45)") {
+    // forward: r's columns surface as r_*; type(r) == r.rel_type
+    val fwd = CypherLite.run(people,
+      "MATCH (n)-[r:KNOWS]->(m) WHERE n.name = 'Alice' " +
+        "RETURN r.id AS rid, type(r) AS t, startNode(r) AS s, endNode(r) AS e")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(fwd == Seq((10L, "KNOWS", 0L, 1L)))
+    // reverse arrow: startNode/endNode still report the STORED endpoints
+    val rev = CypherLite.run(people,
+      "MATCH (m)<-[r:KNOWS]-(n) WHERE n.name = 'Alice' " +
+        "RETURN startNode(r) AS s, endNode(r) AS e")
+      .as[(Long, Long)].collect().toSeq
+    assert(rev == Seq((0L, 1L)))
+    // rel functions usable in WHERE; bare `r` splats its columns
+    assert(CypherLite.run(people,
+      "MATCH (n)-[r]->(m) WHERE type(r) = 'KNOWS' RETURN r").count() == 2)
+  }
+
+  test("aggregating RETURN groups by the non-aggregated items (reference MemCypherRecords.scala:99-162)") {
+    val res = CypherLite.run(people,
+      "MATCH (n:Person) RETURN n.city AS city, count(*) AS n, min(n.name) AS first ORDER BY city")
+      .as[(String, Long, String)].collect().toSeq
+    assert(res == Seq(("Dresden", 2L, "Carol"), ("Leipzig", 2L, "Alice")))
+    val coll = CypherLite.run(people,
+      "MATCH (n:Person) RETURN n.city AS city, collect(n.name) AS names ORDER BY city")
+      .as[(String, Seq[String])].collect().toSeq
+    assert(coll == Seq(("Dresden", Seq("Carol", "Dave")), ("Leipzig", Seq("Alice", "Bob"))))
+    // global aggregate (no keys) + count DISTINCT + default naming
+    val g = CypherLite.run(people, "MATCH (n:Person) RETURN count(DISTINCT n.city), sum(n.age)")
+    assert(g.columns.toSeq == Seq("count_distinct_n_city", "sum_n_age"))
+    assert(g.as[(Long, Long)].collect().toSeq == Seq((2L, 120L)))
+  }
+
+  test("multi-pattern MATCH: shared variables join, disjoint patterns cross (reference MemOperatorProducer.scala:115-118)") {
+    val shared = CypherLite.run(chain,
+      "MATCH (n)-[:KNOWS]->(a), (a)-[:FRIEND]->(b) RETURN b.value AS v")
+      .as[Int].collect().toSeq
+    assert(shared == Seq(3))
+    val cross = CypherLite.run(chain, "MATCH (n:A), (m:C) RETURN n.value AS nv, m.value AS mv")
+      .as[(Int, Int)].collect().toSeq
+    assert(cross == Seq((1, 3)))
+  }
+
+  test("undirected self-loop matches exactly once (both direction bindings are the same binding)") {
+    val loopy = PatternMatch(
+      Seq((1L, Seq("A"), 1), (2L, Seq("A"), 2)).toDF("id", "labels", "value"),
+      Seq((10L, 1L, 1L, "SELF"), (11L, 1L, 2L, "LINK")).toDF("id", "src", "dst", "rel_type"))
+    assert(CypherLite.run(loopy, "MATCH (a)-[:SELF]-(b) RETURN a.value AS v").count() == 1)
+    // non-loop relationships still match once per direction binding
+    assert(CypherLite.run(loopy, "MATCH (a)-[:LINK]-(b) RETURN a.value AS v").count() == 2)
+  }
+
+  test("whitespace inside string literals is preserved; quote escapes are rejected") {
+    val spacey = PatternMatch(
+      Seq((1L, Seq("A"), "x  y")).toDF("id", "labels", "name"),
+      Seq.empty[(Long, Long, Long, String)].toDF("id", "src", "dst", "rel_type"))
+    // the double space inside the literal must survive normalization
+    assert(CypherLite.run(spacey, "MATCH (n) WHERE n.name = 'x  y' RETURN n.name AS name")
+      .as[String].collect().toSeq == Seq("x  y"))
+    assertThrows[CypherLite.ParseError](CypherLite.run(spacey,
+      """MATCH (n) WHERE n.name = 'O\'Brien' RETURN n.name"""))
+    assertThrows[CypherLite.ParseError](CypherLite.run(spacey,
+      "MATCH (n) WHERE n.name = 'O''Brien' RETURN n.name"))
+  }
+
   test("unsupported fragments are rejected with clear errors") {
     def rejected(q: String): Unit =
       assertThrows[CypherLite.ParseError](CypherLite.run(chain, q))
     rejected("OPTIONAL MATCH (n) RETURN n")
     rejected("MATCH (n)-[*1..2]->(m) RETURN n")
-    rejected("MATCH (n), (m) RETURN n")
+    rejected("MATCH (n)-->(n) RETURN n") // repeated variable in one path
+    rejected("MATCH (n)-[r]->(m), (m)-[r]->(o) RETURN n") // rel var reuse across paths
     rejected("MATCH (n) RETURN n SKIP 2")
     rejected("CREATE (n) RETURN n")
     rejected("MATCH (n) RETURN n LIMIT five") // non-integer LIMIT → ParseError, not NumberFormat
     rejected("MATCH (n)<-[:KNOWS]->(m) RETURN n") // both arrow heads
+    rejected("MATCH (n) RETURN DISTINCT n.name, count(*)") // DISTINCT with aggregates
   }
 }
