@@ -171,15 +171,22 @@ object Bench {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // corpus sizing tracks the engine: the proxy only reflects real parallel
-    // scaling when per-stage work dwarfs per-stage fixed overhead (job
-    // submit, AQE re-plan, stage tails — roughly constant per stage). 400k
-    // conversations was that regime in round 2; the round-3/4 engine is
-    // ~3× faster (best per-turn CPU 119 µs), so at 400k the warm 32-core
-    // config finishes in ~84 s across 7 stages and measures overhead, not
-    // scaling (valid-but-meaningless 0.34). 1.2M conversations (~26M turns)
-    // restores work ≫ overhead at both configs within the driver budget.
-    val nConv = sys.env.getOrElse("GRAFT_BENCH_CONV", "1200000").toLong
+    // corpus sizing: GRAFT_BENCH_CONV is the CEILING the sweep may use, not a
+    // commitment — the proxy only reflects real parallel scaling when
+    // per-stage work dwarfs per-stage fixed overhead, which wants the corpus
+    // large (1.2M conversations ≈ 26M turns for the round-4 engine), but
+    // round 4 committed to that corpus without checking it fit the budget:
+    // one cold 1,466 s 8-core trial consumed everything and the 32-core
+    // trial died at the driver's hard timeout — four rounds with no
+    // admissible scaling artifact. Round-5 rule: after the warmups measure
+    // actual throughput at both configs, [[nConv]] is re-derived as the
+    // largest corpus ≤ the ceiling whose trial PAIR fits the remaining
+    // budget TWICE (2 clean pairs = the admissibility bar), floored at
+    // GRAFT_BENCH_CONV_FLOOR (the work ≫ overhead threshold — below it the
+    // efficiency number is valid but meaningless).
+    val nConvReq = sys.env.getOrElse("GRAFT_BENCH_CONV", "1200000").toLong
+    val nConvFloor = sys.env.getOrElse("GRAFT_BENCH_CONV_FLOOR", "600000").toLong
+    var nConv = nConvReq
     val budgetSec = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
     val wall0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - wall0) / 1e9
@@ -241,7 +248,8 @@ object Bench {
     def render(partial: Boolean): String = {
       val scaling =
         if (trials.isEmpty)
-          s"""{"n_conv":$nConv,"trials":[],"scaling_efficiency":null,""" +
+          s"""{"n_conv":$nConv,"n_conv_requested":$nConvReq,"n_conv_floor":$nConvFloor,""" +
+            s""""trials":[],"scaling_efficiency":null,""" +
             s""""measurement_valid":false,"budget_truncated":$truncated}"""
         else {
           val qualifiedAll = trials.filterNot(_.disqualified)
@@ -268,7 +276,8 @@ object Bench {
               f""""achieved_cores":${t.achievedCores}%.1f,""" +
               s""""disqualified":${t.disqualified}}""")
             .mkString("[", ",", "]")
-          s"""{"n_conv":$nConv,"turns":${trials.head.turns},""" +
+          s"""{"n_conv":$nConv,"n_conv_requested":$nConvReq,"n_conv_floor":$nConvFloor,""" +
+            s""""turns":${trials.head.turns},""" +
             s""""sec_8":${jnum(median(lo.used.map(_.sec)))},"sec_32":${jnum(median(hi.used.map(_.sec)))},""" +
             s""""turns_per_sec_8":${jnum(tputLo)},"turns_per_sec_32":${jnum(tputHi)},""" +
             s""""scaling_efficiency":$effJson,""" +
@@ -327,11 +336,25 @@ object Bench {
     // best per-turn cost falling 4× from a cold to a warm trial), and a
     // warmup that only touches the hi config leaves the first lo trial cold
     // — a 500-1400 s trial that the clean rule then rightly discards, which
-    // at driver budgets was the difference between 1 pair and 3. nConv/5
-    // (~2 min combined) buys pair 1 admissible for both configs.
+    // at driver budgets was the difference between 1 pair and 3. The warmup
+    // pair doubles as the THROUGHPUT PROBE that budget-fits the measured
+    // corpus (see nConv above); warmup cost is semi-cold, so the fit errs
+    // conservative — real (warmer) pairs come in under the estimate and the
+    // adaptive pair loop spends the surplus on extra pairs.
+    val warmConv = math.max(math.min(nConvReq / 8, 120000L), 200L)
     if (elapsed < 0.4 * budgetSec) {
-      pipelineRun(hiCores, math.max(nConv / 5, 200))
-      pipelineRun(loCores, math.max(nConv / 5, 200))
+      val wh = pipelineRun(hiCores, warmConv)
+      val wl = pipelineRun(loCores, warmConv)
+      val margin = 60.0
+      val rem = budgetSec - elapsed - margin
+      val pairSecPerConv = (wh.sec + wl.sec) / warmConv
+      val fit2 = if (rem > 0 && pairSecPerConv > 0) (rem / 2.0 / pairSecPerConv).toLong else 0L
+      nConv = math.max(math.min(nConvReq, fit2), math.min(nConvFloor, nConvReq))
+      System.err.println(f"[bench] warmup: hi ${wh.sec}%.1fs lo ${wl.sec}%.1fs at $warmConv conv " +
+        f"→ corpus fit $fit2%d, using $nConv%d (ceiling $nConvReq%d, floor $nConvFloor%d)")
+    } else {
+      // no time to probe throughput — take the floor, never the ceiling
+      nConv = math.min(nConvFloor, nConvReq)
     }
     var pair = 0
     // Extend past maxPairs while the measurement is still CONVERGING: if the
@@ -359,11 +382,15 @@ object Bench {
         if (trials.isEmpty) 0.0
         else trials.filter(_.cores == loCores).map(_.sec).min +
           trials.filter(_.cores == hiCores).map(_.sec).min
-      // the first pair always runs — partial scaling evidence beats none
+      // the first pair always runs — partial scaling evidence beats none.
+      // HI config runs first within each pair (round-4 lesson: the 32-core
+      // trial is ~5× cheaper wall-clock, so a budget overrun mid-pair still
+      // leaves ≥1 complete trial — and a stage profile — at EACH parallelism
+      // instead of only the 8-core side)
       if (pair > 0 && elapsed + pairCost > budgetSec) truncated = true
       else {
-        trials += pipelineRun(loCores, nConv); checkpoint()
         trials += pipelineRun(hiCores, nConv); checkpoint()
+        trials += pipelineRun(loCores, nConv); checkpoint()
         pair += 1
         if (elapsed > budgetSec) truncated = true
       }
