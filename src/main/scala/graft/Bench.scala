@@ -331,30 +331,43 @@ object Bench {
     // maxPairs (≤2× cap) run while the budget allows and per-turn costs are
     // still converging (see stillImproving below)
     val hardCapPairs = maxPairs * 2
-    // Warm up BOTH configs before the first measured pair. C2 keeps
-    // compiling across trials (per-trial sessions share the JVM; observed
-    // best per-turn cost falling 4× from a cold to a warm trial), and a
-    // warmup that only touches the hi config leaves the first lo trial cold
-    // — a 500-1400 s trial that the clean rule then rightly discards, which
-    // at driver budgets was the difference between 1 pair and 3. The warmup
-    // pair doubles as the THROUGHPUT PROBE that budget-fits the measured
-    // corpus (see nConv above); warmup cost is semi-cold, so the fit errs
-    // conservative — real (warmer) pairs come in under the estimate and the
-    // adaptive pair loop spends the surplus on extra pairs.
-    val warmConv = math.max(math.min(nConvReq / 8, 120000L), 200L)
-    if (elapsed < 0.4 * budgetSec) {
-      val wh = pipelineRun(hiCores, warmConv)
-      val wl = pipelineRun(loCores, warmConv)
-      val margin = 60.0
-      val rem = budgetSec - elapsed - margin
-      val pairSecPerConv = (wh.sec + wl.sec) / warmConv
-      val fit2 = if (rem > 0 && pairSecPerConv > 0) (rem / 2.0 / pairSecPerConv).toLong else 0L
-      nConv = math.max(math.min(nConvReq, fit2), math.min(nConvFloor, nConvReq))
-      System.err.println(f"[bench] warmup: hi ${wh.sec}%.1fs lo ${wl.sec}%.1fs at $warmConv conv " +
-        f"→ corpus fit $fit2%d, using $nConv%d (ceiling $nConvReq%d, floor $nConvFloor%d)")
-    } else {
+    // ESCALATING warmups before the first measured pair. C2 keeps compiling
+    // across trials (per-trial sessions share the JVM) and needs SEVERAL
+    // full pipeline passes to reach steady state — round 3 measured best
+    // per-turn CPU falling 322→121 µs across 5 pairs, and round 4's single
+    // nConv/5 warmup left the first full trial 4× cold, which is what ate
+    // the budget. A ladder of (hi, lo) pairs at nConvReq/40 → /16 → /8
+    // warms both configs at a fraction of a full trial's cost; later rungs
+    // are skipped once the best per-turn CPU stops improving >10% (JIT
+    // converged) or the warmup share of the budget (35%) is spent. The last
+    // rung doubles as the THROUGHPUT PROBE that budget-fits the measured
+    // corpus: fit from near-warm per-conv cost × 1.25 safety, so two
+    // trial pairs genuinely fit what remains.
+    val margin = 60.0
+    var warmFit: Option[Double] = None // sec per conv for one (hi+lo) pair
+    val rungs = Seq(40L, 16L, 8L).map(d => math.max(nConvReq / d, 200L)).distinct
+    var bestCost = Double.MaxValue
+    var keepWarming = true
+    for (wc <- rungs if keepWarming && elapsed < 0.35 * budgetSec) {
+      val wh = pipelineRun(hiCores, wc)
+      val wl = pipelineRun(loCores, wc)
+      warmFit = Some((wh.sec + wl.sec) / wc)
+      val c = math.min(wh.cpuPerTurn, wl.cpuPerTurn)
+      System.err.println(f"[bench] warmup@$wc%d conv: hi ${wh.sec}%.1fs lo ${wl.sec}%.1fs " +
+        f"best_cpu ${c * 1e6}%.0f µs/turn (prev best ${if (bestCost == Double.MaxValue) -1 else bestCost * 1e6}%.0f)")
+      if (c > 0.9 * bestCost) keepWarming = false // converged — stop escalating
+      bestCost = math.min(bestCost, c)
+    }
+    nConv = warmFit match {
+      case Some(pairSecPerConv) if pairSecPerConv > 0 =>
+        val rem = budgetSec - elapsed - margin
+        val fit2 = (rem / 2.0 / (1.25 * pairSecPerConv)).toLong
+        val chosen = math.max(math.min(nConvReq, fit2), math.min(nConvFloor, nConvReq))
+        System.err.println(f"[bench] corpus fit $fit2%d → using $chosen%d " +
+          f"(ceiling $nConvReq%d, floor $nConvFloor%d, rem ${rem}%.0fs)")
+        chosen
       // no time to probe throughput — take the floor, never the ceiling
-      nConv = math.min(nConvFloor, nConvReq)
+      case _ => math.min(nConvFloor, nConvReq)
     }
     var pair = 0
     // Extend past maxPairs while the measurement is still CONVERGING: if the

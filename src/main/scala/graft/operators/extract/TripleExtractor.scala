@@ -120,16 +120,22 @@ object MentionDetector {
   private def maxGramOf(normed: Iterable[String]): Int =
     if (normed.isEmpty) 1 else normed.iterator.map(_.count(_ == ' ') + 1).max
 
-  /** File-backed gazetteer index: serializes as just the path (bytes on the
-    * wire ≈ the string), and each JVM — driver or executor — lazily loads
-    * the surface file once on first lookup via a process-wide cache. This is
+  /** File-backed gazetteer index: serializes as the path plus the active
+    * Hadoop-config DELTA (the spark.hadoop.* entries the session injected on
+    * top of the site defaults — defaultFS, s3a/hdfs credentials — typically
+    * a handful of strings), and each JVM — driver or executor — lazily loads
+    * the surface file once on first lookup via a process-wide cache keyed by
+    * path + content fingerprint (part names/sizes/mtimes), so a path
+    * rewritten with different content never serves a stale index. This is
     * how a web-scale vocabulary ships without ever passing through the
     * driver: [[writeIndexFile]] normalizes/dedups/writes it distributed, and
     * the detector tasks read it straight from shared storage (Hadoop
     * FileSystem — local paths here, hdfs://-style URIs on a cluster).
     */
-  final class FileIndex(val path: String) extends Index {
-    @transient private lazy val delegate: Index = FileIndex.load(path)
+  final class FileIndex private[extract] (val path: String,
+      confDelta: Map[String, String]) extends Index {
+    def this(path: String) = this(path, FileIndex.activeConfDelta())
+    @transient private lazy val delegate: Index = FileIndex.load(path, confDelta)
     def contains(n: String): Boolean = delegate.contains(n)
     def maxGram: Int = delegate.maxGram
   }
@@ -137,33 +143,60 @@ object MentionDetector {
   object FileIndex {
     private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index]
 
-    private def load(path: String): Index = cache.computeIfAbsent(path, { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    /** Entries the active session's Hadoop configuration carries beyond the
+      * site/default files (which every executor also has on its classpath):
+      * exactly the programmatically-injected spark.hadoop.* surface that a
+      * bare `new Configuration()` on an executor would silently drop.
+      */
+    private[extract] def activeConfDelta(): Map[String, String] =
+      org.apache.spark.sql.SparkSession.getActiveSession.map { s =>
+        val conf = s.sparkContext.hadoopConfiguration
+        val defaults = new org.apache.hadoop.conf.Configuration()
+        val out = Map.newBuilder[String, String]
+        val it = conf.iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (defaults.get(e.getKey) != e.getValue) out += e.getKey -> e.getValue
+        }
+        out.result()
+      }.getOrElse(Map.empty)
+
+    private def load(path: String, confDelta: Map[String, String]): Index = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      confDelta.foreach { case (k, v) => conf.set(k, v) }
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(conf)
       val parts = fs.listStatus(hp).filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      val entries = new java.util.HashSet[String]()
-      var maxGram = 1
-      parts.foreach { part =>
-        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-          fs.open(part.getPath), java.nio.charset.StandardCharsets.UTF_8))
-        try {
-          var line = in.readLine()
-          while (line != null) {
-            if (line.nonEmpty) {
-              entries.add(line)
-              val g = line.count(_ == ' ') + 1
-              if (g > maxGram) maxGram = g
+      // content fingerprint in the cache key: one cheap listStatus per
+      // deserialized instance, and a rewritten gazetteer at the same path
+      // (same JVM) loads fresh instead of serving the dead index
+      val fp = graft.util.Hashing.fnv64(parts.map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}").sorted.mkString("|"))
+      cache.computeIfAbsent(s"$path@${java.lang.Long.toHexString(fp)}", { _ =>
+        val entries = new java.util.HashSet[String]()
+        var maxGram = 1
+        parts.foreach { part =>
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+            fs.open(part.getPath), java.nio.charset.StandardCharsets.UTF_8))
+          try {
+            var line = in.readLine()
+            while (line != null) {
+              if (line.nonEmpty) {
+                entries.add(line)
+                val g = line.count(_ == ' ') + 1
+                if (g > maxGram) maxGram = g
+              }
+              line = in.readLine()
             }
-            line = in.readLine()
-          }
-        } finally in.close()
-      }
-      val mg = maxGram
-      new Index {
-        def contains(n: String): Boolean = entries.contains(n)
-        def maxGram: Int = mg
-      }
-    })
+          } finally in.close()
+        }
+        val mg = maxGram
+        new Index {
+          def contains(n: String): Boolean = entries.contains(n)
+          def maxGram: Int = mg
+        }
+      })
+    }
   }
 
   /** Build a gazetteer file distributed — normalize, dedup, write one

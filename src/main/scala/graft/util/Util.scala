@@ -78,8 +78,17 @@ object TempCaches {
 
   private val tracked = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
+  /** Drop entries whose session has stopped: their cached blocks died with
+    * the context, and retaining the DataFrames would pin whole plan/session
+    * graphs for the JVM's lifetime in long-lived processes (tests, Bench)
+    * whose library callers never call release.
+    */
+  private def dropStopped(): Unit =
+    tracked.filterInPlace(df => !df.sparkSession.sparkContext.isStopped)
+
   /** Persist (MEMORY_AND_DISK) and register for scoped release. */
   def track(df: DataFrame): DataFrame = synchronized {
+    dropStopped()
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     tracked += p
     p
@@ -87,6 +96,7 @@ object TempCaches {
 
   /** Unpersist every tracked table belonging to `spark`. */
   def release(spark: SparkSession): Unit = synchronized {
+    dropStopped()
     tracked.filterInPlace { df =>
       val mine = df.sparkSession eq spark
       if (mine) df.unpersist(blocking = false)
