@@ -341,10 +341,13 @@ object Bench {
     // are skipped once the best per-turn CPU stops improving >10% (JIT
     // converged) or the warmup share of the budget (35%) is spent. The last
     // rung doubles as the THROUGHPUT PROBE that budget-fits the measured
-    // corpus: fit from near-warm per-conv cost × 1.6 safety (per-conv cost
-    // GROWS with corpus — GC/spill pressure; the r5 dress rehearsal measured
-    // full-corpus pairs at 1.45× the warm-rung estimate), so two trial
-    // pairs genuinely fit what remains.
+    // corpus. Per-conv cost GROWS with corpus (GC/spill pressure): the two
+    // r5 dress rehearsals measured full-corpus pairs at 1.45× and 1.79× the
+    // warm-rung estimate, so the fit plans THREE pair-slots (2 clean pairs =
+    // the admissibility bar, +1 slot so a weather-contaminated trial can be
+    // retried instead of invalidating the artifact) at 1.7 safety. Rehearsal
+    // #2 fit 2 slots at 1.6 and chose 1.06M conv — the measured pair cost
+    // (431 s hi + ~650 s lo) could not fit twice in the 1935 s remaining.
     val margin = 60.0
     var warmFit: Option[Double] = None // sec per conv for one (hi+lo) pair
     val rungs = Seq(40L, 16L, 8L).map(d => math.max(nConvReq / d, 200L)).distinct
@@ -363,7 +366,7 @@ object Bench {
     nConv = warmFit match {
       case Some(pairSecPerConv) if pairSecPerConv > 0 =>
         val rem = budgetSec - elapsed - margin
-        val fit2 = (rem / 2.0 / (1.6 * pairSecPerConv)).toLong
+        val fit2 = (rem / 3.0 / (1.7 * pairSecPerConv)).toLong
         val chosen = math.max(math.min(nConvReq, fit2), math.min(nConvFloor, nConvReq))
         System.err.println(f"[bench] corpus fit $fit2%d → using $chosen%d " +
           f"(ceiling $nConvReq%d, floor $nConvFloor%d, rem ${rem}%.0fs)")
