@@ -53,12 +53,7 @@ object Canonicalize {
     val fromTriples = l.select(col("subj_id").as("id"), col("subj_name").as("name"))
       .unionByName(l.select(col("obj_id").as("id"), col("obj_name").as("name")))
       .withColumn("is_dict", lit(false))
-    val fromDict = dict
-      .select(col("canonical_id").cast("long").as("id"), col("canonical_name").as("name"))
-      .withColumn("is_dict", lit(true))
-      .unionByName(dict.select(GraftFunctions.fnv64(col("alias")).as("id"),
-        col("canonical_name").as("name")).withColumn("is_dict", lit(true)))
-    fromTriples.unionByName(fromDict).distinct()
+    fromTriples.unionByName(dictNames(dict)).distinct()
   }
 
   /** components(id, component) × idNames → (id, canon_id, canon_name). */
@@ -81,6 +76,19 @@ object Canonicalize {
   def apply(linked: Dataset[LinkedTriple], dict: DataFrame): Dataset[CanonTriple] = {
     val spark = linked.sparkSession
     import spark.implicits._
+    // ONE full-stream-width pass over the linked triples serves both CC
+    // edges and the name pool: surfaceEdges and idNames each used to scan +
+    // hash-aggregate the whole stream independently — the stage's two most
+    // expensive jobs doing 90%-overlapping work. `sides` distincts the
+    // (id, name) vocabulary once (partial-aggregable: map-side combine
+    // crushes the corpus-sized stream to vocabulary size before the
+    // exchange); everything downstream is vocabulary-sized.
+    val l = linked.toDF()
+    val sides = l.select(col("subj_id").as("id"), col("subj_name").as("name"))
+      .unionByName(l.select(col("obj_id").as("id"), col("obj_name").as("name")))
+      .distinct()
+    val edges = sides.select(
+      GraftFunctions.fnv64(lower(trim(col("name")))).as("src"), col("id").as("dst"))
     // the dictionary stars — the bulk of the alias graph's edges — are
     // contracted before iteration (runSeeded); CC rounds touch only the
     // surface-residual edges, a per-round volume cut that matters once the
@@ -88,12 +96,23 @@ object Canonicalize {
     // the A/B escape hatch back to whole-graph iteration.
     val comps =
       if (sys.env.get("GRAFT_CANON_SEEDED").contains("0"))
-        ConnectedComponents.run(aliasEdges(linked, dict))
+        ConnectedComponents.run(
+          edges.unionByName(dictSeeds(dict).select(col("id").as("src"), col("root").as("dst")))
+            .where(col("src") =!= col("dst")).distinct())
       else
-        ConnectedComponents.runSeeded(surfaceEdges(linked), dictSeeds(dict))
-    val cmap = canonMap(comps, idNames(linked, dict))
+        ConnectedComponents.runSeeded(edges, dictSeeds(dict))
+    val names = sides.withColumn("is_dict", lit(false))
+      .unionByName(dictNames(dict)).distinct()
+    val cmap = canonMap(comps, names)
     rewrite(linked, cmap)
   }
+
+  /** The dictionary's contribution to the name pool (see [[idNames]]). */
+  private def dictNames(dict: DataFrame): DataFrame = dict
+    .select(col("canonical_id").cast("long").as("id"), col("canonical_name").as("name"))
+    .withColumn("is_dict", lit(true))
+    .unionByName(dict.select(GraftFunctions.fnv64(col("alias")).as("id"),
+      col("canonical_name").as("name")).withColumn("is_dict", lit(true)))
 
   def rewrite(linked: Dataset[LinkedTriple], cmap: DataFrame): Dataset[CanonTriple] = {
     val spark = linked.sparkSession

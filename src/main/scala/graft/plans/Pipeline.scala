@@ -31,6 +31,18 @@ object Pipeline {
       gen: TranscriptGen.Config,
       useLsh: Boolean = true,
       transcriptsPath: Option[String] = None,
+      /** The external table at [[transcriptsPath]] already holds the
+        * ordered-read layout (range-partitioned by conv_id, sorted by
+        * (conv_id, turn_idx) within partitions — an Iceberg table written
+        * with that sort order): read it IN PLACE, treating the input table
+        * itself as the committed `transcripts` snapshot. This is the
+        * production shape of the north rule ("reads the transcript Iceberg
+        * table ordered by (conv_id, turn_idx)"): a job over an existing
+        * 10^12-turn table neither re-sorts it nor copies it into its own
+        * storage before starting. Only unordered ingest (`inputOrdered =
+        * false`) pays the one-time re-layout + snapshot.
+        */
+      inputOrdered: Boolean = false,
       /** "all": snapshot every stage (resumable, production default);
         * "final": persist intermediates in memory/disk cache and snapshot
         * only nodes/edges — the throughput-bench mode (a real cluster
@@ -57,7 +69,8 @@ object Pipeline {
     */
   private def checkConfigFingerprint(cfg: Config): Unit = {
     val fp = Seq(cfg.gen.nConv, cfg.gen.seed, cfg.gen.hubFrac, cfg.gen.aliasNoise,
-      cfg.gen.nEntities, cfg.useLsh, cfg.transcriptsPath.getOrElse("")).mkString("|")
+      cfg.gen.nEntities, cfg.useLsh, cfg.transcriptsPath.getOrElse(""),
+      cfg.inputOrdered).mkString("|")
     val p = new org.apache.hadoop.fs.Path(cfg.workDir, "config.fingerprint")
     TableIO.readString(p) match {
       case Some(prev) =>
@@ -188,12 +201,26 @@ object Pipeline {
     // most expensive stage (140 s at local[32]). This mirrors production:
     // an Iceberg table already range-sorted by (conv_id, turn_idx) is read
     // in place; only unpartitioned ingest pays the one-time re-layout.
-    val transcripts = stage("transcripts") {
-      cfg.transcriptsPath match {
-        case Some(p) => spark.read.parquet(p)
-          .repartitionByRange(col("conv_id"))
-          .sortWithinPartitions(col("conv_id"), col("turn_idx"))
-        case None => TranscriptGen.turns(spark, cfg.gen).toDF()
+    val transcripts = cfg.transcriptsPath match {
+      // ordered external table: read in place (see Config.inputOrdered). The
+      // stage's cost is the row count (parquet metadata scan); the actual
+      // column reads happen inside S1/S2, which scan the source table
+      // directly — no second copy of the corpus in checkpoint storage.
+      case Some(p) if cfg.inputOrdered =>
+        val t0 = System.nanoTime()
+        val df = spark.read.parquet(p)
+        val rows = df.count()
+        stages.synchronized {
+          stages += StageRun("transcripts", rows, (System.nanoTime() - t0) / 1000000, resumed = false)
+        }
+        df
+      case _ => stage("transcripts") {
+        cfg.transcriptsPath match {
+          case Some(p) => spark.read.parquet(p)
+            .repartitionByRange(col("conv_id"))
+            .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+          case None => TranscriptGen.turns(spark, cfg.gen).toDF()
+        }
       }
     }
     val turns = transcripts.as[Turn]
