@@ -68,18 +68,20 @@ object EntityLinker {
   /** LSH candidate match of `queries(norm)` against the dictionary; returns
     * (norm, canonical_id, canonical_name) for the best accepted candidate.
     *
-    * Broadcast discipline: the banded index replicates each alias ×NumBands,
-    * so only NARROW rows (band, band_hash, alias) are banded — the wide
-    * shingle arrays and names stay un-replicated and are joined back once
-    * per surviving (norm, alias) candidate. At a 2M-alias vocabulary the
-    * previous wide banded broadcast would have been ~32M wide rows (round-1
-    * advice); the narrow index is ~32M × 3 small columns, and
-    * `broadcastDict = false` switches every dictionary join to a shuffle
-    * join when even that exceeds the broadcast budget.
+    * Join discipline: every join in here is a SHUFFLE join, deliberately.
+    * Both sides of every LSH-internal join are vocabulary-sized — the banded
+    * index (|dict| × NumBands narrow rows), the distinct miss-surface set,
+    * and the surviving candidate pairs — never corpus-sized, so shuffling
+    * them is cheap AND fully parallel. Broadcasting the banded index (the
+    * r1–r4 shape) was the pipeline's largest NON-scaling cost: a 500k-alias
+    * dict bands into ~8M rows whose BroadcastExchange is collected and
+    * hash-built single-threaded on the driver (~15 s fixed per run,
+    * regardless of executor count — measured as the `linked` stage's ~20 s
+    * Amdahl fixed term in the r5 (2,8)-pair profile). The banded index also
+    * replicates only NARROW rows (band, band_hash, alias); the wide shingle
+    * arrays and names are joined back once per surviving candidate.
     */
-  def lshLink(queries: DataFrame, dict: DataFrame,
-      broadcastDict: Boolean = true): DataFrame = {
-    def hint(df: DataFrame): DataFrame = if (broadcastDict) broadcast(df) else df
+  def lshLink(queries: DataFrame, dict: DataFrame): DataFrame = {
     val qSh = queries.select(col("norm"))
       .distinct()
       .withColumn("q_sh", shingles(col("norm")))
@@ -95,13 +97,16 @@ object EntityLinker {
       .select(col("alias"), explode(bands(minhashSignature(col("d_sh")))).as("b"))
       .select(col("alias"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
     // candidate (norm, alias) pairs — deduped BEFORE the expensive
-    // shingle-Jaccard verify (a pair can collide in several bands)
-    val candPairs = qBands.join(hint(dBands), Seq("band", "band_hash"))
+    // shingle-Jaccard verify (a pair can collide in several bands).
+    // shuffle_hash hints pin the shuffle plan: Catalyst's static size
+    // estimate under-counts the ×NumBands explode and would otherwise fall
+    // back to the driver-built broadcast this function exists to avoid.
+    val candPairs = qBands.join(dBands.hint("shuffle_hash"), Seq("band", "band_hash"))
       .select(col("norm"), col("alias"))
       .distinct()
     val cand = candPairs
       .join(qSh, Seq("norm"))
-      .join(hint(dAlias), Seq("alias"))
+      .join(dAlias.hint("shuffle_hash"), Seq("alias"))
       .withColumn("jac",
         size(array_intersect(col("q_sh"), col("d_sh"))).cast("double") /
           size(array_union(col("q_sh"), col("d_sh"))).cast("double"))
@@ -147,12 +152,15 @@ object EntityLinker {
 
     if (useLsh) {
       // miss set = distinct norms anti-joined against the dictionary —
-      // avoids a second full pass over the joined triple stream
+      // avoids a second full pass over the joined triple stream. Shuffle
+      // anti-join: the left side is already hash-partitioned on norm by the
+      // distinct, so only the (vocabulary-sized) dict key column shuffles —
+      // strictly cheaper than a driver-built broadcast of the dict keys.
       val misses = t.select(col("s_norm").as("norm"))
         .unionByName(t.select(col("o_norm").as("norm")))
         .distinct()
-        .join(hint(dict.select(col("alias").as("norm"))), Seq("norm"), "left_anti")
-      val lsh = lshLink(misses, dict, broadcastDict)
+        .join(dict.select(col("alias").as("norm")), Seq("norm"), "left_anti")
+      val lsh = lshLink(misses, dict)
       def lshSide(prefix: String): DataFrame = lsh.select(
         col("norm").as(s"${prefix}_norm"),
         col("canonical_id").as(s"${prefix}_lsh_id"),

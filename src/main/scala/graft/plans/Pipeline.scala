@@ -146,8 +146,14 @@ object Pipeline {
         // LSH expression trees that was MINUTES of driver-side plan-string
         // building per AQE update (observed as nondeterministic 200-300 s
         // stage stalls in the scaling bench). GRAFT_FINAL_MODE switches the
-        // materialization strategy for A/B measurement.
-        val df = sys.env.getOrElse("GRAFT_FINAL_MODE", "ckpt_ser") match {
+        // materialization strategy for A/B measurement. Default is the
+        // DESERIALIZED checkpoint: MEMORY_AND_DISK_SER made every downstream
+        // scan re-pay per-row deserialization — canon reads linked 2-3×, so
+        // at 2 cores the SER tax dominated the stage (bench r5 profile:
+        // canon 31.4 s @2 SER vs ~12 s deserialized). Rows already stored as
+        // compact UnsafeRows; releaseStage() caps residency at ~2 live
+        // stages, which is what made SER's heap headroom unnecessary.
+        val df = sys.env.getOrElse("GRAFT_FINAL_MODE", "ckpt") match {
           case "persist" =>
             val d = compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             d.count()
