@@ -136,10 +136,16 @@ object Bench {
       * it requested — overshoot means the process-CPU accounting was polluted
       * by GC/JIT threads thrashing under external contention (observed:
       * achieved 10.9 on a local[8] trial under loadavg 26). 1.1 allows normal
-      * GC/JIT overhead. A disqualified trial is recorded in the JSON but
-      * excluded from medians, the clean rule, and the efficiency.
+      * GC/JIT overhead PROPORTIONAL to the trial; the +0.75 absolute term is
+      * the JVM's service-thread floor (parallel GC, JIT compiler, netty), a
+      * fixed tax that does not shrink with the executor-thread count — a
+      * healthy local[2] trial measures 2.2-2.5 achieved cores with the best
+      * per-turn CPU of the whole run (r5 full bench: the purely multiplicative
+      * rule disqualified exactly those trials and kept the slowest one). A
+      * disqualified trial is recorded in the JSON but excluded from medians,
+      * the clean rule, and the efficiency.
       */
-    def disqualified: Boolean = achievedCores > 1.1 * cores
+    def disqualified: Boolean = achievedCores > 1.1 * cores + 0.75
   }
 
   private def procCpuNs: Long =
@@ -199,6 +205,13 @@ object Bench {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     rmrf(dir)
+    // settle the JVM before the next measurement: drop the stopped session's
+    // heap now and let GC/compiler threads drain, so the next trial's
+    // pre-sampling and CPU accounting start from a quiet process instead of
+    // inheriting the previous trial's collection debt (observed as a slow
+    // drift of hi-config trial times across a 6-pair run)
+    System.gc()
+    Thread.sleep(2000)
     Trial(cores, r.turns, sec, load, extBusy, achieved, stages)
   }
 
@@ -407,7 +420,7 @@ object Bench {
             s""""scaling_efficiency_normalized":${jnum(effNorm)},""" +
             s""""measurement_valid":$valid,""" +
             s""""protocol":{"pairs_run":${trials.count(t => t.cores == loCores && t.kind == "pipeline")},"interleaved":true,""" +
-            f""""clean_rule":"cpu_per_turn<=${cpuFactor}%.1fx_best_qualified;>=2_qualified;achieved<=1.1x_requested",""" +
+            f""""clean_rule":"cpu_per_turn<=${cpuFactor}%.1fx_best_qualified;>=2_qualified;achieved<=1.1x_requested+0.75",""" +
             f""""best_cpu_us_per_turn":${bestCpuPerTurn * 1e6}%.1f,""" +
             s""""lo_used_clean":${lo.usedClean},"hi_used_clean":${hi.usedClean},""" +
             s""""lo_clean_trials":${lo.nClean},"hi_clean_trials":${hi.nClean},""" +
@@ -429,6 +442,21 @@ object Bench {
     checkpoint() // the hook has a (empty-but-valid) line even if killed early
     if (!skipQueries) {
       val spark = session(cpus)
+      // Untimed framework warmup: the first query in a fresh JVM otherwise
+      // absorbs ALL one-time init — janino/codegen framework, parquet
+      // reader + filter pushdown paths, shuffle machinery, AQE — measured
+      // at ~10 s of the alphabetically-first query's reported time
+      // (dd_embed_neardup: 15.9 s cold vs 4.5 s warm for the same plan).
+      // A tiny read + shuffle + broadcast join exercises those paths once,
+      // outside any per-query timing; per-query numbers then measure the
+      // query, not JVM birth.
+      locally {
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val warm = spark.read.parquet(s"$sfDir/nation.parquet")
+        warm.groupBy(col("n_regionkey")).count().count()
+        warm.join(broadcast(warm.select(col("n_nationkey").as("k"))),
+          col("n_nationkey") === col("k")).count()
+      }
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         // a crashing query must NOT masquerade as a normal timing row:
@@ -536,27 +564,23 @@ object Bench {
     def wantMore: Boolean =
       pair < maxPairs ||
         (pair < hardCapPairs && (stillImproving || !measurementValid))
+    def minSec(c: Int, kind: String = "pipeline"): Double = {
+      val s = trials.filter(t => t.cores == c && t.kind == kind).map(_.sec)
+      if (s.isEmpty) 0.0 else s.min
+    }
     while (wantMore && !truncated) {
       // budget on the MINIMUM observed round cost: the cheapest-possible
       // next round is the right admission question — charging the worst let
       // a single contaminated 1,125 s trial block the retry that would have
       // produced the clean evidence (round-3 defect)
-      def minSec(c: Int, kind: String = "pipeline"): Double = {
-        val s = trials.filter(t => t.cores == c && t.kind == kind).map(_.sec)
-        if (s.isEmpty) 0.0 else s.min
-      }
-      val roundCost = minSec(peakCores) + minSec(hiCores) + minSec(loCores) +
+      val roundCost = minSec(hiCores) + minSec(loCores) +
         minSec(hiCores, "calib") + minSec(loCores, "calib")
       // the first round always runs — partial scaling evidence beats none.
       // Cheapest config first within each round (round-4 lesson: a budget
       // overrun mid-round still leaves ≥1 complete trial — and a stage
       // profile — at EACH parallelism instead of only the expensive side).
-      // The peak config runs only while the efficiency evidence isn't at
-      // risk: once both efficiency configs hold, a missing peak trial can't
-      // invalidate anything.
       if (pair > 0 && elapsed + roundCost > budgetSec) truncated = true
       else {
-        if (peakCores > 0) { trials += pipelineRun(peakCores, nConv); checkpoint() }
         trials += pipelineRun(hiCores, nConv); checkpoint()
         // calibration rides right after its config's pipeline trial (same
         // JIT warmth, same weather window as the number it normalizes)
@@ -565,6 +589,21 @@ object Bench {
         trials += calibRun(loCores, nConv); checkpoint()
         pair += 1
         if (elapsed > budgetSec) truncated = true
+      }
+    }
+    // Peak-width trials run LAST, on whatever budget remains. The 32-thread
+    // config on this one box runs deep into the memory/GC-thrash regime
+    // (r5 full bench: 322-2497 µs/turn at 8-19 achieved cores, vs 81 µs at
+    // 8 threads) — when a peak trial led each pair, the hi trial that
+    // followed inherited a fragmented, collection-pressured heap and the
+    // GATED (lo,hi) pair absorbed the damage. Peak is reporting garnish
+    // (the single-box DRAM ceiling, BASELINE.md), so it must never compete
+    // with the efficiency evidence for budget or JVM health.
+    if (peakCores > 0) {
+      var peaks = 0
+      while (peaks < 2 && elapsed + minSec(peakCores) <= budgetSec) {
+        trials += pipelineRun(peakCores, nConv); checkpoint()
+        peaks += 1
       }
     }
 

@@ -393,7 +393,7 @@ object SparkEntry {
     "st_sessions" -> ((s, dir) =>
       graft.streaming.Streaming.sessionizeParquetJob(s,
         s"$dir/events.parquet",
-        s"${System.getProperty("java.io.tmpdir")}/graft-st-${math.abs(dir.hashCode)}",
+        s"${graft.streaming.Streaming.scratchRoot()}/graft-st-${math.abs(dir.hashCode)}",
         gapSec = 43200L)),
     // streaming windowed aggregation under the gate, in the BOUNDED-STATE
     // shape a production stream runs forever on: watermarked tumbling window,
@@ -405,7 +405,7 @@ object SparkEntry {
     "st_windowed" -> ((s, dir) =>
       graft.streaming.Streaming.windowedCountsParquetJob(s,
         s"$dir/events.parquet",
-        s"${System.getProperty("java.io.tmpdir")}/graft-stw-${math.abs(dir.hashCode)}")),
+        s"${graft.streaming.Streaming.scratchRoot()}/graft-stw-${math.abs(dir.hashCode)}")),
 
     // ---- training-data ops: dedup ----
     "dd_exact" -> ((s, dir) =>

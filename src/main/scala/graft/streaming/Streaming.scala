@@ -45,6 +45,20 @@ object Streaming {
     } else link1(src)
   }
 
+  /** Scratch root for the bounded-replay gate jobs. Streaming checkpoints
+    * fsync offsets/commits plus one state-store delta per partition per
+    * micro-batch; on a single local disk those fsyncs dominate a small gate
+    * run. A host tmpfs is the one-box stand-in for the cluster's fast DFS
+    * scratch (where a production stream keeps its checkpoint), so prefer it
+    * when present. `GRAFT_STREAM_SCRATCH` overrides.
+    */
+  def scratchRoot(): String =
+    sys.env.get("GRAFT_STREAM_SCRATCH").getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-stream"
+      else System.getProperty("java.io.tmpdir")
+    }
+
   final case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, total_value: Double)
 
@@ -174,7 +188,13 @@ object Streaming {
     val events = raw
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
-    val maxTsMs = events.agg(max(unix_millis(col("ts")))).as[Long].head()
+    // ONE prep scan of the corpus, not two: the per-user max-ts aggregate
+    // (partial-agg'd map-side, shuffle is |users| rows) yields both the
+    // sentinel user list and, reduced once more, the global max event time.
+    val perUserMax = events.groupBy(col("user_id"))
+      .agg(max(unix_millis(col("ts"))).as("max_ms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxTsMs = perUserMax.agg(max(col("max_ms"))).as[Long].head()
     // sentinel strictly more than gap + watermark past every real event
     val sentinelMs = maxTsMs + gapSec * 1000L + 60000L
     // Stage = hard-link the corpus files into prepDir (zero-copy; readStream
@@ -186,11 +206,12 @@ object Streaming {
     // carries the RAW ts type (TIMESTAMP_NTZ) so the dir has one schema.
     Streaming.linkInto(eventsPath, prepDir)
     val tsRawType = raw.schema("ts").dataType
-    events.select(col("user_id")).distinct()
+    perUserMax.select(col("user_id"))
       .select(lit(-1L).as("event_id"),
         timestamp_millis(lit(sentinelMs)).cast(tsRawType).as("ts"),
         col("user_id"), lit("__sentinel").as("event_type"), lit(0.0).as("value"))
       .write.mode("append").parquet(prepDir)
+    perUserMax.unpersist()
 
     // one micro-batch for the whole prep dir: FileStreamSource's default
     // maxFilesPerTrigger (1000) would split a >1000-file prep dir into
