@@ -105,7 +105,7 @@ object EntityLinker {
       .select(col("norm"), col("alias"))
       .distinct()
     val cand = candPairs
-      .join(qSh, Seq("norm"))
+      .join(qSh.hint("shuffle_hash"), Seq("norm"))
       .join(dAlias.hint("shuffle_hash"), Seq("alias"))
       .withColumn("jac",
         size(array_intersect(col("q_sh"), col("d_sh"))).cast("double") /

@@ -46,6 +46,19 @@ class LinkerSpec extends SparkTestBase {
     assert(linked.forall(_.link_method.startsWith("surface/")))
   }
 
+  test("lshLink never plans a driver-built broadcast (pinned shuffle joins)") {
+    // Round-5 scaling fix: every LSH-internal join is vocabulary-sized on
+    // both sides, and broadcasting the ×NumBands banded index cost a ~15 s
+    // single-threaded driver hash-build per pipeline run (the linked
+    // stage's non-scaling Amdahl term). The shuffle_hash hints must keep
+    // BroadcastExchange out of the physical plan even as Catalyst's size
+    // estimates or defaults change.
+    val queries = Seq("ada lovelce", "acme crop").toDF("norm")
+    val plan = EntityLinker.lshLink(queries, dict).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"lshLink plan regressed to a broadcast join:\n$plan")
+  }
+
   test("minhash LSH candidates contain all true high-jaccard pairs (recall)") {
     // brute-force jaccard >= threshold pairs on a small vocab must all be
     // found by the banded signature join
