@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -185,6 +185,118 @@ object Simhash64 {
   }
 }
 
+/** Token n-gram shingle set as ONE native codegen expression — bit-identical
+  * to the declarative `array_distinct(transform(sequence(1, size(toks)-n+1),
+  * i => concat_ws(" ", toks[i..i+n-1])))` over `split(text, " ")` (regex
+  * split, limit -1: interior and trailing empty tokens kept), including
+  * first-occurrence order of the distinct set. The declarative form is a
+  * higher-order-function chain that evaluates its lambdas interpreted, per
+  * element, outside whole-stage codegen; this is one pass with one string
+  * buffer.
+  */
+case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TokenShingles.compute(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenShingles.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+  override def prettyName: String = "graft_token_shingles"
+}
+
+object TokenShingles {
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val last = toks.length - n
+    while (i <= last) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** MinHash signature over a shingle array as ONE native codegen expression —
+  * bit-identical to `transform(sequence(0, numHashes-1), k =>
+  * array_min(transform(sh, s => xxhash64(s, k))))` (each element hashed by
+  * Spark's own XXH64: string with seed 42, then the int k folded in).
+  * The declarative form re-hashes every shingle string numHashes times and
+  * allocates numHashes intermediate arrays per row in interpreted
+  * higher-order lambdas; here each shingle's string hash is computed ONCE
+  * and the k-th variant is a single XXH64 int-mix — numHashes× less string
+  * hashing, zero intermediate arrays. An empty shingle array yields an
+  * all-null signature (= array_min over empty), which callers filter the
+  * same way they filter the declarative form's.
+  */
+case class MinhashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullSafeEval(v: Any): Any =
+    MinhashSig.signature(v.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinhashSig.signature($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+object MinhashSig {
+  /** Static entry point shared by interpreted eval and generated code. */
+  def signature(sh: ArrayData, numHashes: Int): ArrayData = {
+    val m = sh.numElements()
+    if (m == 0) return new GenericArrayData(new Array[Any](numHashes)) // nulls
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      // xxhash64(s, k) = XXH64(string, seed 42) folded with hashInt(k, ·);
+      // a null element leaves the seed untouched (Spark hash semantics)
+      val h1 =
+        if (sh.isNullAt(i)) 42L
+        else {
+          val u = sh.getUTF8String(i)
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        }
+      var k = 0
+      while (k < numHashes) {
+        val hk = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(k, h1)
+        if (hk < mins(k)) mins(k) = hk
+        k += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](numHashes)
+    var k = 0
+    while (k < numHashes) { out(k) = mins(k); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Session-level registration; exposes the expressions as [[Column]]
   * functions via the public `call_function` resolver. The Column helpers
   * self-register against the active session, so call sites never depend on
@@ -196,6 +308,16 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_fnv64", es => Fnv64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_fingerprint", es => RollingFingerprint(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash", es => Simhash64(es.head), "built-in")
+    def litInt(es: Seq[Expression], i: Int, fn: String): Int = {
+      val e = es(i)
+      if (!e.foldable) throw new IllegalArgumentException(
+        s"$fn: argument $i must be a literal, got non-foldable ${e.sql}")
+      e.eval().asInstanceOf[Number].intValue()
+    }
+    reg.createOrReplaceTempFunction("graft_token_shingles",
+      es => TokenShingles(es.head, litInt(es, 1, "graft_token_shingles")), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      es => MinhashSig(es.head, litInt(es, 1, "graft_minhash_sig")), "built-in")
     reg.createOrReplaceTempFunction("graft_bounded_min_set", es => {
       val e = es(1)
       if (!e.foldable) throw new IllegalArgumentException(
@@ -224,6 +346,12 @@ object GraftFunctions {
   def fnv64(c: Column): Column = { ensure(); call_function("graft_fnv64", c) }
   def fingerprint(c: Column): Column = { ensure(); call_function("graft_fingerprint", c) }
   def simhash64(c: Column): Column = { ensure(); call_function("graft_simhash", c) }
+  /** Distinct token n-gram shingles, first-occurrence order ([[TokenShingles]]). */
+  def tokenShingles(c: Column, n: Int): Column =
+    { ensure(); call_function("graft_token_shingles", c, lit(n)) }
+  /** MinHash signature of a shingle array ([[MinhashSig]]). */
+  def minhashSig(c: Column, numHashes: Int): Column =
+    { ensure(); call_function("graft_minhash_sig", c, lit(numHashes)) }
   /** k smallest distinct values of `c`, sorted ascending ([[BoundedMinSet]]). */
   def boundedMinSet(c: Column, k: Int): Column =
     { ensure(); call_function("graft_bounded_min_set", c, lit(k)) }

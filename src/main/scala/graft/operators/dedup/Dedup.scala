@@ -19,11 +19,19 @@ import graft.functions.GraftFunctions
   */
 object Dedup {
 
-  /** Token n-gram shingles (1-based element_at keeps SQL parity). Guarded:
-    * Spark's sequence(1, 0) counts DOWN, so short docs need an explicit
-    * empty-array branch.
+  /** Token n-gram shingles — the native one-pass expression
+    * ([[graft.functions.TokenShingles]]); bit-identical to
+    * [[tokenShinglesDeclarative]] (parity-asserted in OpsSpec), but inside
+    * whole-stage codegen instead of interpreted higher-order lambdas.
     */
-  def tokenShingles(textCol: Column, n: Int): Column = {
+  def tokenShingles(textCol: Column, n: Int): Column =
+    GraftFunctions.tokenShingles(textCol, n)
+
+  /** The declarative formula [[tokenShingles]] must match (1-based
+    * element_at keeps SQL parity). Guarded: Spark's sequence(1, 0) counts
+    * DOWN, so short docs need an explicit empty-array branch.
+    */
+  private[graft] def tokenShinglesDeclarative(textCol: Column, n: Int): Column = {
     val toks = split(textCol, " ")
     when(size(toks) >= n,
       array_distinct(
@@ -42,12 +50,19 @@ object Dedup {
     withFp.join(reps, "fp").select(col(idCol), col("rep_id"))
   }
 
-  /** MinHash signature from an ALREADY-COMPUTED shingle-array column. Keep
-    * the shingle array a materialized attribute (separate projection /
-    * persisted table) — inlining the shingle expression here would rebuild
-    * the array once per hash function per row.
+  /** MinHash signature from an ALREADY-COMPUTED shingle-array column — the
+    * native one-pass expression ([[graft.functions.MinhashSig]]);
+    * bit-identical to [[minhashSigDeclarative]] (parity-asserted in
+    * OpsSpec) but hashes each shingle string ONCE instead of numHashes
+    * times. Keep the shingle array a materialized attribute (separate
+    * projection / persisted table) — inlining the shingle expression here
+    * would rebuild the array once per consumer.
     */
   def minhashSigFromShingles(shCol: Column, numHashes: Int): Column =
+    GraftFunctions.minhashSig(shCol, numHashes)
+
+  /** The declarative formula [[minhashSigFromShingles]] must match. */
+  private[graft] def minhashSigDeclarative(shCol: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       k => array_min(transform(shCol, s => xxhash64(s, k))))
 

@@ -52,11 +52,12 @@ object EntityLinker {
   }
 
   /** MinHash signature: k independent permutations approximated by seeded
-    * xxhash64; sig[k] = min over shingles of xxhash64(shingle, k).
+    * xxhash64; sig[k] = min over shingles of xxhash64(shingle, k). Native
+    * one-pass expression ([[graft.functions.MinhashSig]]), bit-identical to
+    * the declarative transform/array_min formula (OpsSpec parity gate).
     */
   def minhashSignature(shingleCol: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      k => array_min(transform(shingleCol, s => xxhash64(s, k))))
+    graft.functions.GraftFunctions.minhashSig(shingleCol, NumHashes)
 
   /** Explode a signature into (band, band_hash) structs for LSH banding. */
   def bands(sigCol: Column): Column =

@@ -70,6 +70,27 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("native token shingles + minhash sig == declarative HOF formulas, bit for bit") {
+    val texts = docs.select("text").as[String].collect().toSeq ++
+      Seq("", " ", "a", "a b", "a b  c ", "trailing space ", "a b a b a b",
+        "x y z x y z")
+    val df = texts.toDF("text")
+    val sh = df.select(
+      Dedup.tokenShingles(col("text"), 3).as("nat"),
+      Dedup.tokenShinglesDeclarative(col("text"), 3).as("dec"))
+      .as[(Seq[String], Seq[String])].collect()
+    sh.zip(texts).foreach { case ((nat, dec), t) =>
+      assert(nat == dec, s"token shingles diverged on '$t'")
+    }
+    val sig = df.select(
+      Dedup.minhashSigFromShingles(Dedup.tokenShingles(col("text"), 3), 16).as("nat"),
+      Dedup.minhashSigDeclarative(Dedup.tokenShinglesDeclarative(col("text"), 3), 16).as("dec"))
+      .as[(Seq[Option[Long]], Seq[Option[Long]])].collect()
+    sig.zip(texts).foreach { case ((nat, dec), t) =>
+      assert(nat == dec, s"minhash sig diverged on '$t'")
+    }
+  }
+
   test("simhash: identical docs share signatures; near-dups are close") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
       .as[(Long, Long)].collect().toMap
