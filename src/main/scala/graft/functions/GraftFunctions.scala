@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -297,6 +297,68 @@ object MinhashSig {
   }
 }
 
+/** Cosine similarity of two `array<double>` vectors as ONE native codegen
+  * expression — bit-identical to the declarative
+  * `dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))` with
+  * `dot = aggregate(zip_with(a,b,_*_), 0.0, _+_)` (same left-to-right
+  * summation order; mismatched lengths or a null element poison the result
+  * to null exactly like zip_with's null padding does). The declarative form
+  * is three interpreted higher-order traversals plus two zip_with array
+  * allocations per evaluation — per candidate PAIR in the near-dup
+  * verifiers; this is one fused pass, zero allocations. ONE deliberate
+  * divergence: a zero-norm vector yields NaN (dropped by any `>= threshold`
+  * filter), where the ANSI declarative division throws DIVIDE_BY_ZERO —
+  * a corpus-scale job must not die on one degenerate row.
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // compute() returns a boxed java.lang.Double (null on poisoned input),
+    // so the generated code must unbox + propagate the null flag
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double graftCos = graft.functions.CosineSim.compute($a, $b);
+         |if (graftCos == null) { ${ev.isNull} = true; } else { ${ev.value} = graftCos.doubleValue(); }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_cosine"
+}
+
+object CosineSim {
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    // zip_with pads the shorter side with null and null poisons the sums
+    if (na != nb) return null
+    var dot = 0.0
+    var n2a = 0.0
+    var n2b = 0.0
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      n2a += x * x
+      n2b += y * y
+      i += 1
+    }
+    dot / (math.sqrt(n2a) * math.sqrt(n2b))
+  }
+}
+
 /** Session-level registration; exposes the expressions as [[Column]]
   * functions via the public `call_function` resolver. The Column helpers
   * self-register against the active session, so call sites never depend on
@@ -318,6 +380,8 @@ object GraftFunctions {
       es => TokenShingles(es.head, litInt(es, 1, "graft_token_shingles")), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig",
       es => MinhashSig(es.head, litInt(es, 1, "graft_minhash_sig")), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      es => CosineSim(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_bounded_min_set", es => {
       val e = es(1)
       if (!e.foldable) throw new IllegalArgumentException(
@@ -352,6 +416,9 @@ object GraftFunctions {
   /** MinHash signature of a shingle array ([[MinhashSig]]). */
   def minhashSig(c: Column, numHashes: Int): Column =
     { ensure(); call_function("graft_minhash_sig", c, lit(numHashes)) }
+  /** Cosine similarity of two array<double> vectors ([[CosineSim]]). */
+  def cosine(a: Column, b: Column): Column =
+    { ensure(); call_function("graft_cosine", a, b) }
   /** k smallest distinct values of `c`, sorted ascending ([[BoundedMinSet]]). */
   def boundedMinSet(c: Column, k: Int): Column =
     { ensure(); call_function("graft_bounded_min_set", c, lit(k)) }

@@ -91,6 +91,29 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("native cosine == declarative zip_with/aggregate formula, bit for bit") {
+    import graft.functions.VectorOps
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 50).map(i => (i.toLong, Array.fill(64)(rnd.nextDouble() - 0.5)))
+    val df = vecs.toDF("id", "v")
+    val a = df.select(col("id").as("ia"), col("v").as("va"))
+    val b = df.select(col("id").as("ib"), col("v").as("vb"))
+    val got = a.crossJoin(b).where(col("ia") < col("ib"))
+      .select(VectorOps.cosine(col("va"), col("vb")).as("nat"),
+        VectorOps.cosineDeclarative(col("va"), col("vb")).as("dec"))
+      .as[(Option[Double], Option[Double])].collect()
+    got.foreach { case (nat, dec) =>
+      assert(nat.map(java.lang.Double.doubleToLongBits) ==
+        dec.map(java.lang.Double.doubleToLongBits), s"cosine diverged: $nat vs $dec")
+    }
+    // deliberate divergence: a zero-norm vector yields NaN (which every
+    // `>= threshold` filter drops) — the ANSI declarative form instead
+    // throws DIVIDE_BY_ZERO, killing a corpus-scale job on one degenerate row
+    val z = Seq((Array.fill(4)(0.0), Array.fill(4)(1.0))).toDF("za", "zb")
+      .select(VectorOps.cosine(col("za"), col("zb"))).as[Double].head()
+    assert(z.isNaN)
+  }
+
   test("simhash: identical docs share signatures; near-dups are close") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
       .as[(Long, Long)].collect().toMap
