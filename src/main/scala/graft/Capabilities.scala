@@ -33,6 +33,12 @@ object Capabilities {
     "cypher_rel_binding",
     "cypher_return_aggregates",
     "cypher_multi_pattern",
+    // round 5: WITH query-part chaining (projection/aliasing, implicit-
+    // grouping aggregation, DISTINCT, post-WITH WHERE, follow-up MATCH) —
+    // the reference runs the TCK WithAcceptance scenarios green (only 7 of
+    // them are blacklisted: ORDER BY/SKIP/LIMIT-in-WITH, nested maps, null
+    // projection — those stay out here too)
+    "cypher_with",
     "node_scan_label_pruned",
     "rel_scan_type_pruned",
     "alias",

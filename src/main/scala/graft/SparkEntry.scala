@@ -276,6 +276,24 @@ object SparkEntry {
       graft.graph.CypherLite.run(kgPattern(s, dir),
         "MATCH (c:Customer)-[:LIVES_IN]->(n), (n)-[:LOCATED_IN]->(r) " +
           "RETURN DISTINCT c.name AS c_name, r.name AS r_name")),
+    // WITH query-part chaining (the reference runs the TCK WithAcceptance
+    // scenarios green — OKAPI plans WITH onto the same Project/Aggregate
+    // operators): aggregating WITH with implicit grouping, then a WHERE
+    // over the projection (HAVING), parameterized.
+    "kg_cypher_with" -> ((s, dir) =>
+      graft.graph.CypherLite.run(kgPattern(s, dir),
+        "MATCH (c:Customer)-[:LIVES_IN]->(n) " +
+          "WITH n.name AS nation, count(*) AS n_cust WHERE n_cust >= $k " +
+          "RETURN nation, n_cust",
+        Map("k" -> 5))),
+    // WITH carrying a bound node variable into a follow-up MATCH (the
+    // TCK's "pass nodes through WITH" shape): nations that have at least
+    // one customer, expanded to their region in a second query part.
+    "kg_cypher_with_match" -> ((s, dir) =>
+      graft.graph.CypherLite.run(kgPattern(s, dir),
+        "MATCH (c:Customer)-[:LIVES_IN]->(n) WITH DISTINCT n " +
+          "MATCH (n)-[:LOCATED_IN]->(r) " +
+          "RETURN DISTINCT n.name AS n_name, r.name AS r_name")),
     // Demo shape (reference apps/Demo.scala:31-42): label scan + project +
     // ORDER BY over node properties.
     "kg_match_demo" -> ((s, dir) =>
@@ -600,6 +618,14 @@ object SparkEntry {
     // shared-variable multi-pattern ≡ the 2-hop join through nation
     "kg_cypher_multi" ->
       s"WITH b AS ($B) SELECT DISTINCT c_name, r_name FROM b",
+    // aggregating WITH + HAVING ≡ group customers per nation, filter ≥ 5
+    "kg_cypher_with" ->
+      (s"WITH b AS ($B), d AS (SELECT DISTINCT c_name, n_name FROM b) " +
+        "SELECT n_name AS nation, COUNT(*) AS n_cust FROM d " +
+        "GROUP BY n_name HAVING COUNT(*) >= 5"),
+    // WITH → second MATCH ≡ nations with a customer, joined to their region
+    "kg_cypher_with_match" ->
+      s"WITH b AS ($B) SELECT DISTINCT n_name, r_name FROM b",
 
     "q01_scan_filter" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_quantity > 45",

@@ -15,10 +15,15 @@ import org.apache.spark.sql.functions._
   * disjunction (`Ors`, CypherMapOps.scala:78-80), relationship values with
   * `type`/`startNode`/`endNode` (CypherMapOps.scala:43-45; rel rows
   * flattened at api/MemCypherGraph.scala:129-140), aggregating RETURN
-  * (api/MemCypherRecords.scala:99-162) and multi-pattern MATCH (planned as
-  * CartesianProduct, impl/planning/MemOperatorProducer.scala:115-118) — and
-  * rejects everything else with a clear error (the full grammar stays pinned
-  * in [[graft.Capabilities.unsupported]] as `cypher_full_grammar`).
+  * (api/MemCypherRecords.scala:99-162), multi-pattern MATCH (planned as
+  * CartesianProduct, impl/planning/MemOperatorProducer.scala:115-118) and
+  * WITH query-part chaining (the TCK WithAcceptance scenarios the reference
+  * runs green — projection/aliasing, implicit-grouping aggregation,
+  * DISTINCT, post-WITH WHERE, passing bound nodes into a follow-up MATCH;
+  * the blacklisted ones — ORDER BY/SKIP/LIMIT inside WITH, null-literal
+  * projection, nested maps — stay out) — and rejects everything else with a
+  * clear error (the full grammar stays pinned in
+  * [[graft.Capabilities.unsupported]] as `cypher_full_grammar`).
   *
   * Supported:
   * {{{
@@ -27,7 +32,12 @@ import org.apache.spark.sql.functions._
   *   rel  := -->|--|<-- | -[[r][:TYPE]]-> | <-[[r][:TYPE]]- | -[[r][:TYPE]]-
   * [WHERE disjunct [OR disjunct ...]]      disjunct := cond [AND cond ...]
   *   cond := ref (=|<>|<|<=|>|>=) (literal|$param) | ref IS [NOT] NULL
-  *   ref  := v.prop | type(r) | startNode(r) | endNode(r)
+  *   ref  := v.prop | type(r) | startNode(r) | endNode(r) | alias
+  * ( WITH [DISTINCT] witem [, witem ...]   witem := v | ref AS alias
+  *                                                | agg AS alias
+  *   [WHERE ...]                           (filters the WITH projection —
+  *   [MATCH path [, path ...]              HAVING when aggregated)
+  *    [WHERE ...]] )*
   * RETURN [DISTINCT] item [, item ...]
   *   item := v | ref [AS alias] | agg [AS alias]
   *   agg  := count(*) | count([DISTINCT] ref) | min(ref) | max(ref)
@@ -52,6 +62,13 @@ import org.apache.spark.sql.functions._
   *  - Aggregates in RETURN group by the non-aggregated items (Cypher's
   *    implicit grouping). `collect` is the engine's deterministic collect
   *    (sorted ascending), matching the programmatic operator (q06).
+  *  - WITH narrows the in-flight table to its items: bare variables carry
+  *    their whole binding forward (and may seed a follow-up MATCH — shared
+  *    variables equi-join on the binding, like the reference's
+  *    CartesianProduct planning between query parts); expressions must be
+  *    aliased (openCypher's own rule) and become plain columns referenced
+  *    by alias afterwards. A WHERE directly after WITH filters the
+  *    projection (HAVING when the WITH aggregated).
   *  - Parameters substitute as typed literals at plan build time — the
   *    Catalyst equivalent of the reference resolving `Param` per row.
   *  - Quote escapes (`\'` or `''`) are OUTSIDE the fragment and rejected
@@ -69,7 +86,7 @@ import org.apache.spark.sql.functions._
 object CypherLite {
 
   final case class ParseError(msg: String) extends IllegalArgumentException(
-    s"CypherLite: $msg (supported fragment: MATCH path[, path ...] [WHERE ...] RETURN [DISTINCT] items [ORDER BY ...] [LIMIT n])")
+    s"CypherLite: $msg (supported fragment: MATCH path[, path ...] [WHERE ...] (WITH items [WHERE ...] [MATCH ...])* RETURN [DISTINCT] items [ORDER BY ...] [LIMIT n])")
 
   private val nodeRe = """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*((?::[A-Za-z_][A-Za-z0-9_]*)*)\s*\)""".r
   // one regex for every arrow form; a hop with both '<' and '>' is rejected
@@ -180,34 +197,25 @@ object CypherLite {
   def run(pm: PatternMatch, query: String, params: Map[String, Any] = Map.empty): DataFrame = {
     val q = normalize(query)
     val upper = maskedUpper(q)
-    for (kw <- Seq("OPTIONAL MATCH", "CREATE", "MERGE", "DELETE", "SET", "UNION", "SKIP", "WITH"))
+    for (kw <- Seq("OPTIONAL MATCH", "CREATE", "MERGE", "DELETE", "SET", "UNION", "SKIP"))
       if (findKw(upper, kw) >= 0) throw ParseError(s"'$kw' is not in the supported fragment")
 
-    val iMatch = findKw(upper, "MATCH")
-    val iReturn = findKw(upper, "RETURN")
-    if (iMatch != 0) throw ParseError("query must start with MATCH")
-    if (iReturn < 0) throw ParseError("query must contain RETURN")
-    val iWhere = findKw(upper, "WHERE")
-    val iOrder = findKw(upper, "ORDER BY")
-    val iLimit = findKw(upper, "LIMIT")
-
-    val patternStr = q.substring("MATCH ".length, if (iWhere >= 0) iWhere else iReturn).trim
-    val whereStr = if (iWhere >= 0) Some(q.substring(iWhere + "WHERE ".length, iReturn).trim) else None
-    val returnEnd = Seq(iOrder, iLimit).filter(_ > iReturn).sorted.headOption.getOrElse(q.length)
-    val returnStr = q.substring(iReturn + "RETURN ".length, returnEnd).trim
-    val orderStr = if (iOrder >= 0) {
-      val end = if (iLimit > iOrder) iLimit else q.length
-      Some(q.substring(iOrder + "ORDER BY ".length, end).trim)
-    } else None
-    val limitN = if (iLimit >= 0) {
-      val raw = q.substring(iLimit + "LIMIT ".length).trim
-      val resolved = if (raw.startsWith("$")) param(params, raw.substring(1)) else raw
-      try Some(resolved.toString.trim.toInt)
-      catch { case _: NumberFormatException => throw ParseError(s"LIMIT expects an integer, got '$raw'") }
-    } else None
-
-    // ---- pattern: comma-separated linear paths ----
-    if (patternStr.contains("*")) throw ParseError("var-length patterns are not supported")
+    // ---- clause segmentation: every top-level keyword, in query order ----
+    case class Clause(kw: String, body: String)
+    val starts = Seq("MATCH", "WHERE", "WITH", "RETURN", "ORDER BY", "LIMIT").flatMap { kw =>
+      var acc = List.empty[(Int, String)]
+      var i = findKw(upper, kw)
+      while (i >= 0) { acc ::= ((i, kw)); i = findKw(upper, kw, i + kw.length) }
+      acc
+    }.sortBy(_._1)
+    if (starts.isEmpty || starts.head != ((0, "MATCH")))
+      throw ParseError("query must start with MATCH")
+    if (starts.count(_._2 == "RETURN") != 1)
+      throw ParseError("query must contain exactly one RETURN")
+    val clauses = starts.zipWithIndex.map { case ((at, kw), idx) =>
+      val end = if (idx + 1 < starts.length) starts(idx + 1)._1 else q.length
+      Clause(kw, q.substring(at + kw.length, end).trim)
+    }
 
     // reverse arrows run over the flipped edge view (dst⇄src swapped): the
     // same inner-join Expand, planned by Catalyst either way
@@ -276,31 +284,19 @@ object CypherLite {
       PathPlan(bound, nodes.map(_.v).toSet, rels.flatMap(_._1).toSet)
     }
 
-    // comma-separated paths combine like the reference's CartesianProduct
-    // planning (MemOperatorProducer.scala:115-118): disjoint → cross join;
-    // shared node variables → equi-join on every shared binding column
-    // (id equality implies the rest — the using-join also dedups columns)
-    val plans = pathStr2Paths(patternStr).map(planPath)
-    val combined = plans.reduceLeft { (acc, p) =>
-      if ((acc.relVars intersect p.relVars).nonEmpty)
-        throw ParseError(s"relationship variable reused across paths: ${(acc.relVars intersect p.relVars).mkString(", ")}")
-      if ((acc.nodeVars intersect p.nodeVars).isEmpty)
-        PathPlan(acc.df.crossJoin(p.df), acc.nodeVars ++ p.nodeVars, acc.relVars ++ p.relVars)
-      else {
-        val shared = acc.nodeVars intersect p.nodeVars
-        val sharedCols = p.df.columns.filter(c => shared.exists(v => c.startsWith(s"${v}_"))).toSeq
-        PathPlan(acc.df.join(p.df, sharedCols), acc.nodeVars ++ p.nodeVars, acc.relVars ++ p.relVars)
-      }
-    }
-    var bound = combined.df
-    val nodeVars = combined.nodeVars
-    val relVars = combined.relVars
-    val vars = nodeVars ++ relVars
+    // ---- running query-part state (advances across WITH boundaries) ----
+    var bound: DataFrame = null
+    var nodeVars = Set.empty[String]
+    var relVars = Set.empty[String]
+    var scalarCols = Set.empty[String] // aliases a WITH introduced
 
-    /** `v.prop` / `type(r)` / `startNode(r)` / `endNode(r)` → binding column. */
+    /** `v.prop` / `type(r)` / `startNode(r)` / `endNode(r)` / WITH-alias
+      * → in-flight column, against the CURRENT part's bindings.
+      */
     def resolveRef(s: String): Option[(Column, String)] = s.trim match {
       case propRe(v, p) =>
-        if (!vars.contains(v)) throw ParseError(s"unknown variable '$v'")
+        if (!nodeVars.contains(v) && !relVars.contains(v))
+          throw ParseError(s"unknown variable '$v'")
         Some((col(s"${v}_$p"), s"${v}_$p"))
       case funcRe(f, r) =>
         if (!relVars.contains(r)) throw ParseError(s"'$f' expects a relationship variable, got '$r'")
@@ -310,39 +306,65 @@ object CypherLite {
           case "endnode" => s"${r}_dst"
         }
         Some((col(c), c))
+      case name if scalarCols.contains(name) => Some((col(name), name))
       case _ => None
     }
     def ref(s: String): Column =
       resolveRef(s).getOrElse(throw ParseError(s"unsupported expression '$s'"))._1
 
-    // ---- WHERE: OR of AND-conjunctions (AND binds tighter, standard
-    // precedence; reference evaluates flat Ands/Ors lists the same way,
-    // CypherMapOps.scala:74-80) ----
-    whereStr.foreach { w =>
+    // comma-separated paths combine like the reference's CartesianProduct
+    // planning (MemOperatorProducer.scala:115-118): disjoint → cross join;
+    // shared node variables → equi-join on every shared binding column
+    // (id equality implies the rest — the using-join also dedups columns).
+    // A follow-up MATCH after WITH folds into the carried bindings the same
+    // way: variables kept by the WITH join, fresh patterns cross.
+    def applyMatch(patternStr: String): Unit = {
+      if (patternStr.contains("*")) throw ParseError("var-length patterns are not supported")
+      def merge(acc: PathPlan, p: PathPlan): PathPlan = {
+        if ((acc.relVars intersect p.relVars).nonEmpty)
+          throw ParseError(s"relationship variable reused across paths: ${(acc.relVars intersect p.relVars).mkString(", ")}")
+        if ((acc.nodeVars intersect p.nodeVars).isEmpty)
+          PathPlan(acc.df.crossJoin(p.df), acc.nodeVars ++ p.nodeVars, acc.relVars ++ p.relVars)
+        else {
+          val shared = acc.nodeVars intersect p.nodeVars
+          val sharedCols = p.df.columns.filter(c => shared.exists(v => c.startsWith(s"${v}_"))).toSeq
+          PathPlan(acc.df.join(p.df, sharedCols), acc.nodeVars ++ p.nodeVars, acc.relVars ++ p.relVars)
+        }
+      }
+      val plans = pathStr2Paths(patternStr).map(planPath)
+      val combined =
+        if (bound == null) plans.reduceLeft(merge)
+        else plans.foldLeft(PathPlan(bound, nodeVars, relVars))(merge)
+      bound = combined.df; nodeVars = combined.nodeVars; relVars = combined.relVars
+    }
+
+    // WHERE: OR of AND-conjunctions (AND binds tighter, standard precedence;
+    // reference evaluates flat Ands/Ors lists the same way,
+    // CypherMapOps.scala:74-80). After a WITH it filters the projection —
+    // HAVING when the WITH aggregated.
+    def applyWhere(w: String): Unit = {
       val disjuncts = splitOn(w, "OR").map { d =>
         splitOn(d, "AND").map(parseCond(_, ref, params)).reduce(_ && _)
       }
       bound = bound.where(disjuncts.reduce(_ || _))
     }
 
-    // ---- RETURN: plain refs, bare variables (splat), aggregates ----
-    val distinct = maskedUpper(returnStr).startsWith("DISTINCT ")
-    val itemsStr = if (distinct) returnStr.substring("DISTINCT ".length) else returnStr
-
+    // ---- WITH / RETURN projection: plain refs, bare variables (splat),
+    // aggregates with Cypher's implicit grouping ----
     sealed trait Item { def c: Column; def name: String }
-    final case class Plain(c: Column, name: String) extends Item
-    final case class Agg(c: Column, name: String) extends Item
+    case class Plain(c: Column, name: String) extends Item
+    case class AggItem(c: Column, name: String) extends Item
 
-    def parseAgg(fn: String, inner: String, alias: Option[String]): Agg = {
+    def parseAgg(fn: String, inner: String, alias: Option[String]): AggItem = {
       val f = fn.toLowerCase
       val innerMasked = maskedUpper(inner)
       (f, inner.trim) match {
-        case ("count", "*") => Agg(count(lit(1)).as(alias.getOrElse("count_all")), alias.getOrElse("count_all"))
+        case ("count", "*") => AggItem(count(lit(1)).as(alias.getOrElse("count_all")), alias.getOrElse("count_all"))
         case ("count", x) if innerMasked.startsWith("DISTINCT ") =>
           val (c, n) = resolveRef(x.substring("DISTINCT ".length))
             .getOrElse(throw ParseError(s"unsupported aggregate argument '$x'"))
           val name = alias.getOrElse(s"count_distinct_$n")
-          Agg(countDistinct(c).as(name), name)
+          AggItem(countDistinct(c).as(name), name)
         case (_, x) =>
           val (c, n) = resolveRef(x).getOrElse(throw ParseError(s"unsupported aggregate argument '$x'"))
           val name = alias.getOrElse(s"${f}_$n")
@@ -354,44 +376,106 @@ object CypherLite {
             // the engine's deterministic collect (order-pinned, like q06)
             case "collect" => sort_array(collect_list(c))
           }
-          Agg(e.as(name), name)
+          AggItem(e.as(name), name)
       }
     }
 
-    val items: Seq[Item] = itemsStr.split(",").map(_.trim).toSeq.flatMap { it =>
-      val parts = splitOn(it, "AS")
-      val (expr, alias) = (parts.head.trim, if (parts.length > 1) Some(parts(1).trim) else None)
-      expr match {
-        case aggRe(fn, inner) => Seq(parseAgg(fn, inner, alias))
-        case _ => resolveRef(expr) match {
-          case Some((c, n)) =>
-            val name = alias.getOrElse(n)
-            Seq(Plain(c.as(name), name))
-          case None if vars.contains(expr) => // bare variable: splat its columns
-            if (alias.isDefined) throw ParseError(s"AS on a bare variable '$expr' is not supported")
-            bound.columns.filter(_.startsWith(s"${expr}_")).toSeq.map(c => Plain(col(c), c))
-          case None => throw ParseError(s"unsupported RETURN item '$expr'")
+    /** Project `body` over the in-flight table. For WITH this also REPLACES
+      * the binding state: bare variables carry forward, everything else must
+      * be aliased (openCypher's rule for WITH) and becomes a plain column.
+      */
+    def project(body: String, isWith: Boolean): DataFrame = {
+      val clauseName = if (isWith) "WITH" else "RETURN"
+      val distinct = maskedUpper(body).startsWith("DISTINCT ")
+      val itemsStr = if (distinct) body.substring("DISTINCT ".length) else body
+      var keptNodes = Set.empty[String]
+      var keptRels = Set.empty[String]
+      var newScalars = Set.empty[String]
+      val items: Seq[Item] = itemsStr.split(",").map(_.trim).toSeq.flatMap { it =>
+        val parts = splitOn(it, "AS")
+        val (expr, alias) = (parts.head.trim, if (parts.length > 1) Some(parts(1).trim) else None)
+        expr match {
+          case aggRe(fn, inner) =>
+            if (isWith && alias.isEmpty)
+              throw ParseError(s"expressions in WITH must be aliased: '$it'")
+            val a = parseAgg(fn, inner, alias)
+            newScalars += a.name
+            Seq(a)
+          case _ => resolveRef(expr) match {
+            case Some((c, n)) =>
+              // a bare WITH-alias passes through under its own name; any
+              // other expression in WITH needs an explicit alias
+              if (isWith && alias.isEmpty && !scalarCols.contains(expr))
+                throw ParseError(s"expressions in WITH must be aliased: '$it'")
+              val name = alias.getOrElse(n)
+              newScalars += name
+              Seq(Plain(c.as(name), name))
+            case None if nodeVars.contains(expr) || relVars.contains(expr) =>
+              // bare variable: splat its columns; in WITH it stays bound
+              if (alias.isDefined) throw ParseError(s"AS on a bare variable '$expr' is not supported")
+              if (nodeVars.contains(expr)) keptNodes += expr else keptRels += expr
+              bound.columns.filter(_.startsWith(s"${expr}_")).toSeq.map(c => Plain(col(c), c))
+            case None => throw ParseError(s"unsupported $clauseName item '$expr'")
+          }
         }
       }
-    }
-    if (items.isEmpty) throw ParseError("RETURN needs at least one item")
+      if (items.isEmpty) throw ParseError(s"$clauseName needs at least one item")
 
-    val aggs = items.collect { case a: Agg => a }
-    var out =
-      if (aggs.isEmpty) {
-        val o = bound.select(items.map(_.c): _*)
-        if (distinct) o.distinct() else o
-      } else {
-        // Cypher's implicit grouping: non-aggregated items are the keys
-        if (distinct) throw ParseError("DISTINCT with aggregates is not in the supported fragment")
-        val keys = items.collect { case p: Plain => p.c }
-        bound.groupBy(keys: _*).agg(aggs.head.c, aggs.tail.map(_.c): _*)
-          // restore the written item order (groupBy puts keys first)
-          .select(items.map(i => col(i.name)): _*)
+      val aggs = items.collect { case a: AggItem => a }
+      val out =
+        if (aggs.isEmpty) {
+          val o = bound.select(items.map(_.c): _*)
+          if (distinct) o.distinct() else o
+        } else {
+          // Cypher's implicit grouping: non-aggregated items are the keys
+          if (distinct) throw ParseError("DISTINCT with aggregates is not in the supported fragment")
+          val keys = items.collect { case p: Plain => p.c }
+          bound.groupBy(keys: _*).agg(aggs.head.c, aggs.tail.map(_.c): _*)
+            // restore the written item order (groupBy puts keys first)
+            .select(items.map(i => col(i.name)): _*)
+        }
+      if (isWith) { nodeVars = keptNodes; relVars = keptRels; scalarCols = newScalars }
+      out
+    }
+
+    def parseLimit(raw0: String): Int = {
+      val raw = raw0.trim
+      val resolved = if (raw.startsWith("$")) param(params, raw.substring(1)) else raw
+      try resolved.toString.trim.toInt
+      catch { case _: NumberFormatException => throw ParseError(s"LIMIT expects an integer, got '$raw'") }
+    }
+
+    // ---- drive the clause chain (ordering validated as we go) ----
+    var returnBody: String = null
+    var orderBody: Option[String] = None
+    var limitN: Option[Int] = None
+    var last = "" // previous clause: "", MATCH, MATCH-WHERE, WITH, WITH-WHERE, RETURN, ORDER BY
+    clauses.foreach { cl =>
+      (cl.kw, last) match {
+        case ("MATCH", "" | "WITH" | "WITH-WHERE") => applyMatch(cl.body)
+        case ("MATCH", _) =>
+          throw ParseError("MATCH may only start the query or follow a WITH (consecutive MATCH clauses: use comma-separated patterns)")
+        case ("WHERE", "MATCH" | "WITH") => applyWhere(cl.body)
+        case ("WHERE", _) => throw ParseError("WHERE must directly follow MATCH or WITH")
+        case ("WITH", "MATCH" | "MATCH-WHERE" | "WITH" | "WITH-WHERE") =>
+          bound = project(cl.body, isWith = true)
+        case ("WITH", _) => throw ParseError("WITH must follow a MATCH or WITH part")
+        case ("RETURN", "MATCH" | "MATCH-WHERE" | "WITH" | "WITH-WHERE") =>
+          returnBody = cl.body
+        case ("RETURN", _) => throw ParseError("RETURN must close a MATCH or WITH part")
+        case ("ORDER BY", "RETURN") => orderBody = Some(cl.body)
+        case ("ORDER BY", _) =>
+          throw ParseError("ORDER BY is only supported after RETURN (the reference blacklists ORDER BY inside WITH)")
+        case ("LIMIT", "RETURN" | "ORDER BY") => limitN = Some(parseLimit(cl.body))
+        case ("LIMIT", _) => throw ParseError("LIMIT is only supported at the end of the query")
       }
+      last = if (cl.kw == "WHERE") s"$last-WHERE" else cl.kw
+    }
+
+    var out = project(returnBody, isWith = false)
 
     // ---- ORDER BY ----
-    orderStr.foreach { o =>
+    orderBody.foreach { o =>
       val keys = o.split(",").map(_.trim).map { k =>
         val (expr, desc) = maskedUpper(k) match {
           case u if u.endsWith(" DESC") => (k.dropRight(5).trim, true)

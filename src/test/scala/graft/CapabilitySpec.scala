@@ -22,6 +22,7 @@ class CapabilitySpec extends AnyFunSuite {
     val pinned = Set(
       "start_unit_table", "driving_table", "cypher_match_subset",
       "cypher_rel_binding", "cypher_return_aggregates", "cypher_multi_pattern",
+      "cypher_with",
       "node_scan_label_pruned", "rel_scan_type_pruned",
       "alias", "project", "select_fields", "drop", "remove_aliases",
       "filter_three_valued", "distinct", "aggregate", "order_by", "limit",
@@ -78,6 +79,7 @@ class CapabilitySpec extends AnyFunSuite {
       "cypher_rel_binding" -> "kg_cypher_rel",
       "cypher_return_aggregates" -> "kg_cypher_agg",
       "cypher_multi_pattern" -> "kg_cypher_multi",
+      "cypher_with" -> "kg_cypher_with",
       "streaming_sessionize" -> "st_sessions",
       "streaming_windowed_agg" -> "st_windowed",
       "node_scan_label_pruned" -> "kg_match_demo",

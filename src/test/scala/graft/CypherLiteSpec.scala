@@ -185,6 +185,67 @@ class CypherLiteSpec extends SparkTestBase {
       "MATCH (n) WHERE n.name = 'O''Brien' RETURN n.name"))
   }
 
+  test("WITH projects and aliases; a following WHERE filters the projection (TCK WithAcceptance shapes)") {
+    // plain projection + aliasing, referenced by alias afterwards
+    val res = CypherLite.run(people,
+      "MATCH (n:Person) WITH n.name AS name, n.age AS age WHERE age > 25 " +
+        "RETURN name, age ORDER BY name")
+      .as[(String, Int)].collect().toSeq
+    assert(res == Seq(("Bob", 30), ("Carol", 30), ("Dave", 40)))
+    // DISTINCT in WITH
+    assert(CypherLite.run(people,
+      "MATCH (n:Person) WITH DISTINCT n.city AS city RETURN city").count() == 2)
+  }
+
+  test("WITH aggregates with implicit grouping; post-WITH WHERE is HAVING") {
+    val res = CypherLite.run(people,
+      "MATCH (n:Person) WITH n.city AS city, count(*) AS n_people, max(n.age) AS oldest " +
+        "WHERE n_people >= 2 AND oldest >= 40 RETURN city, n_people")
+      .as[(String, Long)].collect().toSeq
+    assert(res == Seq(("Dresden", 2L)))
+    // aggregate over a WITH alias in the final RETURN
+    val two = CypherLite.run(people,
+      "MATCH (n:Person) WITH n.city AS city RETURN count(DISTINCT city) AS n_cities")
+      .as[Long].collect().toSeq
+    assert(two == Seq(2L))
+  }
+
+  test("WITH passes bound nodes into a follow-up MATCH (shared variable joins)") {
+    // chain 1-KNOWS->2-FRIEND->3: carry the KNOWS target, expand FRIEND
+    val res = CypherLite.run(chain,
+      "MATCH (n)-[:KNOWS]->(a) WITH a MATCH (a)-[:FRIEND]->(b) RETURN a.value AS av, b.value AS bv")
+      .as[(Int, Int)].collect().toSeq
+    assert(res == Seq((2, 3)))
+    // scalar aliases ride along across the second MATCH
+    val ride = CypherLite.run(chain,
+      "MATCH (n)-[:KNOWS]->(a) WITH a, n.value AS nv MATCH (a)-[:FRIEND]->(b) " +
+        "RETURN nv, b.value AS bv")
+      .as[(Int, Int)].collect().toSeq
+    assert(ride == Seq((1, 3)))
+    // a follow-up MATCH sharing no variable crosses (reference CartesianProduct)
+    val cross = CypherLite.run(chain,
+      "MATCH (n:A) WITH n.value AS nv MATCH (m:C) RETURN nv, m.value AS mv")
+      .as[(Int, Int)].collect().toSeq
+    assert(cross == Seq((1, 3)))
+  }
+
+  test("WITH chains; variables dropped by WITH are unknown afterwards") {
+    val res = CypherLite.run(people,
+      "MATCH (n:Person) WITH n.city AS city, n.age AS age WITH city, max(age) AS oldest " +
+        "RETURN city, oldest ORDER BY city")
+      .as[(String, Int)].collect().toSeq
+    assert(res == Seq(("Dresden", 40), ("Leipzig", 30)))
+    // n is out of scope after a WITH that didn't carry it
+    assertThrows[CypherLite.ParseError](CypherLite.run(people,
+      "MATCH (n:Person) WITH n.city AS city RETURN n.name"))
+    // expressions in WITH must be aliased (openCypher's own rule)
+    assertThrows[CypherLite.ParseError](CypherLite.run(people,
+      "MATCH (n:Person) WITH n.city RETURN n.city"))
+    // ORDER BY inside WITH stays out (the reference blacklists it)
+    assertThrows[CypherLite.ParseError](CypherLite.run(people,
+      "MATCH (n:Person) WITH n.age AS age ORDER BY age RETURN age"))
+  }
+
   test("unsupported fragments are rejected with clear errors") {
     def rejected(q: String): Unit =
       assertThrows[CypherLite.ParseError](CypherLite.run(chain, q))
