@@ -327,8 +327,16 @@ object CypherLite {
           PathPlan(acc.df.crossJoin(p.df), acc.nodeVars ++ p.nodeVars, acc.relVars ++ p.relVars)
         else {
           val shared = acc.nodeVars intersect p.nodeVars
-          val sharedCols = p.df.columns.filter(c => shared.exists(v => c.startsWith(s"${v}_"))).toSeq
-          PathPlan(acc.df.join(p.df, sharedCols), acc.nodeVars ++ p.nodeVars, acc.relVars ++ p.relVars)
+          // join on the shared ids only — id equality implies the rest of
+          // the binding (same graph), and id-only keys keep the shuffle from
+          // hashing wide rows and array (labels) columns. The incoming
+          // side's duplicate non-id shared columns are dropped AFTER its own
+          // label filters already applied.
+          val idCols = shared.map(v => s"${v}_id").toSeq
+          val dup = p.df.columns
+            .filter(c => shared.exists(v => c.startsWith(s"${v}_")) && !idCols.contains(c))
+          PathPlan(acc.df.join(p.df.drop(dup.toSeq: _*), idCols),
+            acc.nodeVars ++ p.nodeVars, acc.relVars ++ p.relVars)
         }
       }
       val plans = pathStr2Paths(patternStr).map(planPath)
