@@ -452,9 +452,11 @@ object SparkEntry {
       Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id", threshold = 0.2)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard") * 1000).cast("long").as("jac_pm"))),
-    // simhash stays rows-only: DuckDB cannot reproduce the 64-bit
-    // token-hash signature, and Hamming-band recall is <1 by design at
-    // maxHamming 6 (4 bands guarantee only Hamming ≤ 3)
+    // simhash is fully oracle-gated: the per-token hash is the repo-standard
+    // FNV-1a 64, which DuckDB folds byte-exactly with list_reduce, and the
+    // 4-band candidate condition (any 16-bit chunk equal) is plain SQL — so
+    // the oracle reproduces the banded list EXACTLY, including the
+    // deliberate recall<1 at Hamming 4..6 (banding guarantees only ≤3)
     "dd_simhash_full" -> ((s, dir) =>
       Dedup.simhashCandidates(t(s, dir, "documents"), "text", "doc_id", maxHamming = 6)),
     // banded hyperplane-LSH self-join over the FULL embeddings table (no id
@@ -514,6 +516,38 @@ object SparkEntry {
 
   private val B = TpchKg.baseSql
   private val T = TpchKg.transcriptsSql
+
+  /** DuckDB reproduction of [[graft.operators.dedup.Dedup.simhashCandidates]]
+    * (bands=4, maxHamming=6) over `documents`: FNV-1a 64 per token (limit -1
+    * split semantics: string_split keeps interior AND trailing empties; an
+    * empty token folds to the FNV offset basis via the empty filtered char
+    * list), majority-vote signature, candidate iff any 16-bit band chunk is
+    * equal AND Hamming ≤ 6. HUGEINT keeps the mod-2^64 fold exact; signatures
+    * are mapped to the signed BIGINT domain before the bitwise band/Hamming
+    * arithmetic so they compare equal to Spark's LongType values.
+    */
+  private def simhashOracleSql(where: String): String =
+    s"WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents $where), " +
+      "tok AS (SELECT doc_id, unnest(toks) AS t FROM d), " +
+      "h AS (SELECT doc_id, list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+      "list_transform(list_filter(string_split(t, ''), c -> c <> ''), c -> ord(c)::HUGEINT)), " +
+      "(a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS th FROM tok), " +
+      "hb AS (SELECT doc_id, CASE WHEN th >= 9223372036854775808::HUGEINT " +
+      "THEN (th - 18446744073709551616::HUGEINT)::BIGINT ELSE th::BIGINT END AS thb FROM h), " +
+      "votes AS (SELECT doc_id, i, SUM(CASE WHEN ((thb >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v " +
+      "FROM hb, range(64) t(i) GROUP BY 1, 2), " +
+      "sig AS (SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS s " +
+      "FROM votes GROUP BY 1), " +
+      "sigb AS (SELECT doc_id, CASE WHEN s >= 9223372036854775808::HUGEINT " +
+      "THEN (s - 18446744073709551616::HUGEINT)::BIGINT ELSE s::BIGINT END AS sig FROM sig), " +
+      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "bit_count(xor(a.sig, b.sig)) AS hamming, a.sig AS sa, b.sig AS sb " +
+      "FROM sigb a JOIN sigb b ON a.doc_id < b.doc_id) " +
+      "SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM pairs " +
+      "WHERE hamming <= 6 AND (((sa >> 0) & 65535) = ((sb >> 0) & 65535) OR " +
+      "((sa >> 16) & 65535) = ((sb >> 16) & 65535) OR " +
+      "((sa >> 32) & 65535) = ((sb >> 32) & 65535) OR " +
+      "((sa >> 48) & 65535) = ((sb >> 48) & 65535))"
 
   def oracleSql: Map[String, String] = Map(
     "kg_transcripts" ->
@@ -733,6 +767,21 @@ object SparkEntry {
         "CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE) AS jac FROM p " +
         "JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b) " +
         "SELECT id_a, id_b, CAST(ROUND(jac * 1000) AS BIGINT) AS jac_pm FROM j WHERE jac >= 0.2"),
+
+    // byte-exact reproduction of the engine's banded simhash candidates:
+    // FNV-1a 64 folded per token with list_reduce (HUGEINT mod-2^64
+    // arithmetic), majority-vote signature, then the SAME 4×16-bit band
+    // condition + Hamming cutoff the Spark operator applies
+    "dd_simhash" -> simhashOracleSql("WHERE doc_id < 300"),
+    "dd_simhash_full" -> simhashOracleSql(""),
+    // rolling polynomial fingerprint (base 257 mod 2^61-1) folded over the
+    // normalized character stream — result < 2^61 always fits BIGINT
+    "ta_fingerprint" ->
+      ("SELECT doc_id, f::BIGINT AS fingerprint " +
+        "FROM (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT, " +
+        "list_transform(list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ''), " +
+        "c -> c <> ''), c -> ord(c)::HUGEINT)), " +
+        "(a, b) -> (a * 257 + b) % 2305843009213693951::HUGEINT) AS f FROM documents)"),
 
     "sim_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5), " +

@@ -159,15 +159,19 @@ object Simhash64 {
     * Tokenization matches Spark's `split(text, " ")` (regex single space,
     * limit -1: interior AND trailing empty tokens kept — Java's 1-arg
     * split drops trailing empties, so the limit matters for parity).
+    *
+    * Per-token hash is the repo-standard FNV-1a 64 ([[graft.util.Hashing]]) —
+    * the same id function the rest of the pipeline uses, and byte-exactly
+    * reproducible in plain SQL (the DuckDB oracle folds it with
+    * `list_reduce`), which turns the simhash candidate lists into
+    * hash-checked oracle rows instead of rows-only entries.
     */
   def compute(s: UTF8String): Long = {
     val toks = s.toString.split(" ", -1)
     val counts = new Array[Int](64)
     var t = 0
     while (t < toks.length) {
-      val u = UTF8String.fromString(toks(t))
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      val h = graft.util.Hashing.fnv64(toks(t))
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1

@@ -83,10 +83,16 @@ object Canonicalize {
     // (id, name) vocabulary once (partial-aggregable: map-side combine
     // crushes the corpus-sized stream to vocabulary size before the
     // exchange); everything downstream is vocabulary-sized.
+    // sides is consumed TWICE (CC edges and the name pool) and is
+    // vocabulary-sized after the distinct — persist it so the corpus-wide
+    // scan+exchange that produces it runs once, not once per consumer.
+    // TempCaches-tracked: released by the pipeline / sweep drivers after the
+    // stage's action.
     val l = linked.toDF()
-    val sides = l.select(col("subj_id").as("id"), col("subj_name").as("name"))
-      .unionByName(l.select(col("obj_id").as("id"), col("obj_name").as("name")))
-      .distinct()
+    val sides = graft.util.TempCaches.track(
+      l.select(col("subj_id").as("id"), col("subj_name").as("name"))
+        .unionByName(l.select(col("obj_id").as("id"), col("obj_name").as("name")))
+        .distinct())
     val edges = sides.select(
       GraftFunctions.fnv64(lower(trim(col("name")))).as("src"), col("id").as("dst"))
     // the dictionary stars — the bulk of the alias graph's edges — are
@@ -103,7 +109,10 @@ object Canonicalize {
         ConnectedComponents.runSeeded(edges, dictSeeds(dict))
     val names = sides.withColumn("is_dict", lit(false))
       .unionByName(dictNames(dict)).distinct()
-    val cmap = canonMap(comps, names)
+    // rewrite references cmap in TWO independent join subtrees (subject and
+    // object side) — without materializing it, the comps+canonMap DAG would
+    // execute twice inside the rewrite action. cmap is vocabulary-sized.
+    val cmap = graft.util.TempCaches.track(canonMap(comps, names))
     rewrite(linked, cmap)
   }
 

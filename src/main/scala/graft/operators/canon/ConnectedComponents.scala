@@ -38,6 +38,16 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     var prevSig = signature(e)
+    // Empty graph: nothing to iterate AND nothing to emit (run()'s contract
+    // covers ids occurring in edges — there are none). The seeded pipeline
+    // path hits this whenever the dictionary pre-resolves every observed
+    // surface: without the short-circuit it would still pay a full
+    // large∘small round + checkpoint + re-signature on zero rows.
+    if (prevSig._1 == 0L) {
+      e.unpersist(false)
+      return spark.range(0)
+        .select(col("id"), col("id").as("component"))
+    }
     while (!converged && iter < maxIter) {
       // one materialization per round: localCheckpoint(eager) computes the
       // large-star∘small-star composition AND truncates lineage so round N's
@@ -95,9 +105,8 @@ object ConnectedComponents {
       .where(col("root") =!= col("mroot"))
       .select(col("root").as("src"), col("mroot").as("dst"))
     val keys = minRoot.select(col("id"))
-    val contract = minRoot
-      .join(keys.withColumnRenamed("id", "root"), Seq("root"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val contract = graft.util.TempCaches.track(minRoot
+      .join(keys.withColumnRenamed("id", "root"), Seq("root"), "left_anti"))
     val demoted = minRoot
       .join(keys.withColumnRenamed("id", "root"), Seq("root"), "left_semi")
       .select(col("id").as("src"), col("root").as("dst"))
@@ -130,10 +139,10 @@ object ConnectedComponents {
       .join(compByRoot, Seq("root"), "left_outer")
       .select(col("root").as("id"), coalesce(col("component"), col("root")).as("component"))
       .unionByName(rootComp)
-    // contract stays persisted: the returned plan still references it via
-    // rootRows, and it is entity-dictionary-sized (evicted LRU if memory is
-    // ever tight) — unpersisting here would recompute it per downstream
-    // action instead
+    // contract stays persisted (TempCaches-tracked): the returned plan still
+    // references it via rootRows, and it is entity-dictionary-sized —
+    // unpersisting here would recompute it per downstream action instead.
+    // Sweep drivers / the pipeline release it after the consuming action.
     comp.unionByName(rootRows)
       .groupBy("id").agg(min("component").as("component"))
   }

@@ -129,7 +129,7 @@ object Dedup {
     * traversed once per bit.
     */
   def simhashDeclarative(textCol: Column): Column = {
-    val hashes = transform(split(textCol, " "), t => xxhash64(t))
+    val hashes = transform(split(textCol, " "), t => GraftFunctions.fnv64(t))
     // unrolled per bit (shift amounts must be Scala Ints); disjoint bits are
     // combined with OR — overflow-free under ANSI mode
     (0 until 64).map { j =>

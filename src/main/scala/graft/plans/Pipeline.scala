@@ -263,6 +263,10 @@ object Pipeline {
       Canonicalize(linkedDf.as[LinkedTriple], dict).toDF()
     }
     releaseStage(linkedDf)
+    // Canonicalize tracks its vocabulary-sized intermediates (sides, cmap,
+    // CC contract map) in TempCaches; the canon checkpoint above is the last
+    // consumer, so drop them before S5's corpus-wide jobs need the memory.
+    graft.util.TempCaches.release(spark)
 
     // S5 — graph materialization; edges partitioned by rel_type (the Spark
     // analog of the reference's typeRelMap scan index).
