@@ -39,6 +39,11 @@ object Capabilities {
     // them are blacklisted: ORDER BY/SKIP/LIMIT-in-WITH, nested maps, null
     // projection — those stay out here too)
     "cypher_with",
+    // round 5, BEYOND the reference (its planner SPI stubs *1..n as
+    // unimplemented, MemOperatorProducer.scala:124-142): bounded
+    // variable-length expand with Cypher path semantics (one row per path,
+    // relationship uniqueness), iterative frontier-join plan
+    "var_length_expand",
     "node_scan_label_pruned",
     "rel_scan_type_pruned",
     "alias",
@@ -99,7 +104,6 @@ object Capabilities {
     * API exists for it, and CapabilitySpec fails if one appears.
     */
   val unsupported: Set[String] = Set(
-    "var_length_expand", // reference lacks it (no *1..n in the planner SPI)
     "shortest_path",
     "skip", // reference lacks SKIP
     "graph_union_all", // reference MemCypherGraph.unionAll = unimplemented

@@ -74,8 +74,15 @@ object SparkEntry {
         .select(col("canonical_name").as("canon_name"), col("entity_type")).distinct()
       val g = Materialize.graph(canon, Some(types))
       val edges = g.edges.persist(MEMORY_AND_DISK)
+      // the name-distinct view needs its own edge id (provenance ids
+      // collapsed with the multiplicity): rows are unique on
+      // (src, dst, rel_type), so a content hash of exactly that is one —
+      // expandVarLength keys relationship uniqueness on it
       val patternEdges = edges.select(col("src"), col("dst"), col("rel_type"))
-        .distinct().persist(MEMORY_AND_DISK)
+        .distinct()
+        .select(GraftFunctions.fnv64(concat_ws(":", col("src"), col("dst"),
+          col("rel_type"))).as("id"), col("src"), col("dst"), col("rel_type"))
+        .persist(MEMORY_AND_DISK)
       CachedGraph(GraphTables(g.nodes.persist(MEMORY_AND_DISK), edges), patternEdges)
     })
   }
@@ -199,6 +206,19 @@ object SparkEntry {
       val closed = pm.expandInto(hop2, "n", "b", Set("BASED_IN"))
       closed.select(col("n_name"), col("a_name"), col("b_name")).distinct()
     }),
+    // Bounded variable-length expand (beyond the reference — its planner
+    // stubs *1..n): Customer-[:LIVES_IN|LOCATED_IN*1..2]->(b). The oracle
+    // checks the DISTINCT (endpoint, hop-count) reachable set; exact path
+    // multiplicity / relationship-uniqueness semantics are spec-gated on a
+    // crafted cyclic graph (AcceptanceSpec).
+    "kg_match_varlen" -> ((s, dir) => {
+      val pm = kgPattern(s, dir)
+      val n = pm.scan("n", Set("Customer"))
+      pm.expandVarLength(n, "n", "b", Set("LIVES_IN", "LOCATED_IN"),
+          minHops = 1, maxHops = 2, pathVar = Some("p"))
+        .select(col("n_name"), col("b_name"), col("p_len").as("hops"))
+        .distinct()
+    }),
     // Optional expand (OPTIONAL MATCH's one-hop shape, planned as a left
     // outer join like the reference's BinaryOperator.scala:58-59): every node
     // keeps its row; only Customers have an outgoing LIVES_IN edge, so
@@ -276,6 +296,13 @@ object SparkEntry {
       graft.graph.CypherLite.run(kgPattern(s, dir),
         "MATCH (c:Customer)-[:LIVES_IN]->(n), (n)-[:LOCATED_IN]->(r) " +
           "RETURN DISTINCT c.name AS c_name, r.name AS r_name")),
+    // var-length in the string entry (beyond the reference — its planner
+    // stubs *1..n): type alternation + bounded hop range desugar to
+    // PatternMatch.expandVarLength
+    "kg_cypher_varlen" -> ((s, dir) =>
+      graft.graph.CypherLite.run(kgPattern(s, dir),
+        "MATCH (c:Customer)-[:LIVES_IN|LOCATED_IN*1..2]->(b) " +
+          "RETURN DISTINCT c.name AS c_name, b.name AS b_name")),
     // WITH query-part chaining (the reference runs the TCK WithAcceptance
     // scenarios green — OKAPI plans WITH onto the same Project/Aggregate
     // operators): aggregating WITH with implicit grouping, then a WHERE
@@ -606,6 +633,22 @@ object SparkEntry {
     // name-distinct edge view ≡ the distinct base-join rows
     "kg_match_2hop" ->
       s"WITH b AS ($B) SELECT DISTINCT b.c_name AS n_name, b.n_name AS a_name, b.r_name AS b_name FROM b",
+    // string-entry var-length: reachable set without the hop count (UNION
+    // dedups the rare endpoint reachable at both depths)
+    "kg_cypher_varlen" ->
+      (s"WITH b AS ($B) " +
+        "SELECT DISTINCT c_name, n_name AS b_name FROM b " +
+        "UNION " +
+        "SELECT DISTINCT c_name, r_name AS b_name FROM b"),
+    // var-length *1..2 over LIVES_IN/LOCATED_IN from customers: hop 1 lands
+    // on the nation, hop 2 on its region (nation→region is functional in
+    // this corpus, so the same-row projection is exhaustive — the same
+    // precedent kg_match_2hop's oracle uses)
+    "kg_match_varlen" ->
+      (s"WITH b AS ($B) " +
+        "SELECT DISTINCT c_name AS n_name, n_name AS b_name, CAST(1 AS BIGINT) AS hops FROM b " +
+        "UNION ALL " +
+        "SELECT DISTINCT c_name AS n_name, r_name AS b_name, CAST(2 AS BIGINT) AS hops FROM b"),
     // the BASED_IN edge always closes the 2-hop into a triangle
     "kg_match_triangle" ->
       s"WITH b AS ($B) SELECT DISTINCT b.c_name AS n_name, b.n_name AS a_name, b.r_name AS b_name FROM b",

@@ -29,7 +29,12 @@ import org.apache.spark.sql.functions._
   * {{{
   * MATCH path [, path ...]
   *   path := (n[:Label[:Label2]])(rel (m[:Label]))*
-  *   rel  := -->|--|<-- | -[[r][:TYPE]]-> | <-[[r][:TYPE]]- | -[[r][:TYPE]]-
+  *   rel  := -->|--|<-- | -[[r][:TYPES][*len]]-> | <-[[r][:TYPES][*len]]-
+  *        | -[[r][:TYPES][*len]]-
+  *   TYPES := TYPE[|TYPE2...]   (alternation: any of the types matches)
+  *   len  := n | lo..hi | ..hi  (bounded var-length; lo defaults to 1; no
+  *                               rel variable on a var-length hop — Cypher
+  *                               binds a LIST there, outside the fragment)
   * [WHERE disjunct [OR disjunct ...]]      disjunct := cond [AND cond ...]
   *   cond := ref (=|<>|<|<=|>|>=) (literal|$param) | ref IS [NOT] NULL
   *   ref  := v.prop | type(r) | startNode(r) | endNode(r) | alias
@@ -91,7 +96,8 @@ object CypherLite {
   private val nodeRe = """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*((?::[A-Za-z_][A-Za-z0-9_]*)*)\s*\)""".r
   // one regex for every arrow form; a hop with both '<' and '>' is rejected
   private val relRe =
-    """(<)?-(?:\[\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::([A-Za-z_][A-Za-z0-9_]*))?\s*\])?-(>)?""".r
+    """(<)?-(?:\[\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::([A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*))?\s*(\*[0-9.\s]*)?\])?-(>)?""".r
+  private val varLenRe = """\*\s*(\d*)\s*(?:(\.\.)\s*(\d*))?\s*""".r
   private val propRe = """([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)""".r
   private val funcRe = """(?i)(type|startnode|endnode)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
   private val aggRe = """(?i)(count|min|max|sum|collect)\s*\(\s*(.+?)\s*\)""".r
@@ -100,6 +106,27 @@ object CypherLite {
   private case object Out extends Dir
   private case object In extends Dir
   private case object Both extends Dir
+
+  /** `*`-spec inside a relationship pattern → (minHops, maxHops). Bounded
+    * forms only: `*n`, `*lo..hi`, `*..hi` (lo defaults to 1, Cypher's
+    * default). Unbounded `*` / `*lo..` are rejected — bounded traversal is
+    * the operator's contract ([[PatternMatch.expandVarLength]]).
+    */
+  private def parseVarLen(spec: String): (Int, Int) = spec match {
+    case varLenRe(lo, dots, hi) =>
+      val l = if (lo == null || lo.isEmpty) 1 else lo.toInt
+      val h =
+        if (dots == null) {
+          if (lo == null || lo.isEmpty)
+            throw ParseError("unbounded var-length ('*') is not in the supported fragment — give an upper bound, e.g. *1..3")
+          else l // '*n' = exactly n hops
+        } else if (hi == null || hi.isEmpty)
+          throw ParseError(s"var-length '*$lo..' has no upper bound — bounded forms only (e.g. *1..3)")
+        else hi.toInt
+      if (l > h) throw ParseError(s"var-length '*$l..$h' has min > max")
+      (l, h)
+    case _ => throw ParseError(s"cannot parse var-length spec '${spec.trim}'")
+  }
 
   private final case class Node(v: String, labels: Set[String])
   private final case class PathPlan(df: DataFrame, nodeVars: Set[String], relVars: Set[String])
@@ -258,26 +285,47 @@ object CypherLite {
       if (vs.distinct.length != vs.length)
         throw ParseError(s"repeated variable in a single path '$pathStr' (cycle closing is the programmatic expandInto)")
       val rels = relRe.findAllMatchIn(pathStr).map { m =>
-        val (lt, gt) = (m.group(1) != null, m.group(4) != null)
+        val (lt, gt) = (m.group(1) != null, m.group(5) != null)
         val dir: Dir =
           if (lt && gt) throw ParseError(s"'${m.matched}' has both arrow heads")
           else if (gt) Out else if (lt) In else Both
-        (Option(m.group(2)), Option(m.group(3)), dir)
+        val types = Option(m.group(3))
+          .map(_.split("\\|").map(_.trim).filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty[String])
+        val varLen = Option(m.group(4)).map(parseVarLen)
+        if (varLen.isDefined && m.group(2) != null)
+          throw ParseError("binding a relationship variable on a var-length hop " +
+            "(a LIST of relationships in Cypher) is not in the supported fragment")
+        (Option(m.group(2)), types, dir, varLen)
       }.toList
       if (rels.length != nodes.length - 1)
         throw ParseError(s"pattern must be a linear path: ${nodes.length} nodes need ${nodes.length - 1} relationships, got ${rels.length}")
 
       var bound = pm.scan(nodes.head.v, nodes.head.labels)
-      nodes.zip(nodes.tail).zip(rels).foreach { case ((from, to), (relVar, relType, dir)) =>
-        val hopped = dir match {
-          case Out => pm.expand(bound, from.v, to.v, relType.toSet, relVar)
-          case In =>
-            val h = flippedPm.expand(bound, from.v, to.v, relType.toSet, relVar)
+      nodes.zip(nodes.tail).zip(rels).foreach { case ((from, to), (relVar, types, dir, varLen)) =>
+        val hopped = (varLen, dir) match {
+          case (None, Out) => pm.expand(bound, from.v, to.v, types, relVar)
+          case (None, In) =>
+            val h = flippedPm.expand(bound, from.v, to.v, types, relVar)
             relVar.fold(h)(rv => unflip(h, rv))
-          case Both => // bag union minus the double-counted self-loop binding
-            val fwd = pm.expand(bound, from.v, to.v, relType.toSet, relVar)
-            val bwd = flippedNoSelf.expand(bound, from.v, to.v, relType.toSet, relVar)
+          case (None, Both) => // bag union minus the double-counted self-loop binding
+            val fwd = pm.expand(bound, from.v, to.v, types, relVar)
+            val bwd = flippedNoSelf.expand(bound, from.v, to.v, types, relVar)
             fwd.unionByName(relVar.fold(bwd)(rv => unflip(bwd, rv)))
+          // var-length hops: intermediate nodes are unconstrained (Cypher —
+          // labels apply to endpoints only); relationship uniqueness is by
+          // edge id, which every view below preserves
+          case (Some((lo, hi)), Out) =>
+            pm.expandVarLength(bound, from.v, to.v, types, lo, hi)
+          case (Some((lo, hi)), In) =>
+            flippedPm.expandVarLength(bound, from.v, to.v, types, lo, hi)
+          case (Some((lo, hi)), Both) =>
+            // each hop may traverse either orientation: run over the
+            // symmetrized edge view (id preserved, so uniqueness still
+            // blocks re-walking a relationship in the other direction;
+            // self-loops stay single — the flipped branch excludes them)
+            val undir = pm.copy(edges = pm.edges.unionByName(flippedNoSelf.edges))
+            undir.expandVarLength(bound, from.v, to.v, types, lo, hi)
         }
         bound = labelFilter(hopped, to)
       }
@@ -319,7 +367,6 @@ object CypherLite {
     // A follow-up MATCH after WITH folds into the carried bindings the same
     // way: variables kept by the WITH join, fresh patterns cross.
     def applyMatch(patternStr: String): Unit = {
-      if (patternStr.contains("*")) throw ParseError("var-length patterns are not supported")
       def merge(acc: PathPlan, p: PathPlan): PathPlan = {
         if ((acc.relVars intersect p.relVars).nonEmpty)
           throw ParseError(s"relationship variable reused across paths: ${(acc.relVars intersect p.relVars).mkString(", ")}")

@@ -80,6 +80,69 @@ final case class PatternMatch(nodes: DataFrame, edges: DataFrame) {
     else joined.drop(joined.columns.filter(_.startsWith(s"${rv}_")).toSeq: _*)
   }
 
+  /** Bounded variable-length expand — `(from)-[:T*min..max]->(to)`, one
+    * output row PER PATH (Cypher bag semantics) with Cypher's relationship
+    * uniqueness: an edge id may appear at most once within a path. This is
+    * BEYOND the reference (its planner SPI stubs var-length expand as
+    * unimplemented, impl/planning/MemOperatorProducer.scala:124-142); the
+    * capability pin moves accordingly.
+    *
+    * Plan shape (the one that scales): iterative frontier BFS — hop k is ONE
+    * shuffle join of the hop-(k-1) frontier against the type-pruned edge
+    * table on the frontier's end-node id, carrying only a bounded
+    * `array<long>` of edge ids (≤ maxHops elements) for the uniqueness
+    * filter; the ≤maxHops frontiers are bag-unioned and the target node
+    * table is joined ONCE at the end. No recursion, no driver-side graph,
+    * per-hop volume is |frontier ⋈ edges| exactly like a fixed-length
+    * expand chain. AQE's skew-join splitting handles hub end-nodes.
+    *
+    * @param minHops 0 allowed (`*0..k`): the zero-hop path binds `to` to the
+    *                same node as `from`, per Cypher.
+    * @param pathVar when set, binds `<p>_edge_ids` (the path's edge ids, in
+    *                traversal order) and `<p>_len` (hop count).
+    */
+  def expandVarLength(bound: DataFrame, from: String, to: String,
+      relTypes: Set[String] = Set.empty, minHops: Int = 1, maxHops: Int,
+      pathVar: Option[String] = None): DataFrame = {
+    require(minHops >= 0 && maxHops >= minHops && maxHops >= 1,
+      s"expandVarLength: need 0 <= minHops <= maxHops, maxHops >= 1; got [$minHops, $maxHops]")
+    require(maxHops <= 10,
+      s"expandVarLength: maxHops $maxHops > 10 — each hop is a distributed join; unbounded traversal is [[graft.operators.canon.ConnectedComponents]] territory")
+    require(edges.columns.contains("id"),
+      "expandVarLength: the edge table needs an 'id' column (relationship uniqueness within a path is keyed on it)")
+    val typed = if (relTypes.isEmpty) edges else edges.where(col("rel_type").isin(relTypes.toSeq: _*))
+    val e = typed.select(col("id").as("__vl_eid"), col("src").as("__vl_src"), col("dst").as("__vl_dst"))
+    val boundCols = bound.columns.toSeq.map(col)
+    // hop-k frontier: bound's columns + __vl_end (current endpoint id) +
+    // __vl_path (edge ids walked, the uniqueness set)
+    def hop(prev: Option[DataFrame]): DataFrame = prev match {
+      case None =>
+        bound.join(e, col(s"${from}_id") === col("__vl_src"))
+          .select(boundCols :+ col("__vl_dst").as("__vl_end")
+            :+ array(col("__vl_eid")).as("__vl_path"): _*)
+      case Some(f) =>
+        f.join(e, col("__vl_end") === col("__vl_src"))
+          .where(!array_contains(col("__vl_path"), col("__vl_eid")))
+          .select(boundCols :+ col("__vl_dst").as("__vl_end")
+            :+ concat(col("__vl_path"), array(col("__vl_eid"))).as("__vl_path"): _*)
+    }
+    val zeroHop = bound.select(boundCols :+ col(s"${from}_id").as("__vl_end")
+      :+ array().cast("array<long>").as("__vl_path"): _*)
+    var frontier: DataFrame = null
+    var acc: DataFrame = if (minHops == 0) zeroHop else null
+    for (k <- 1 to maxHops) {
+      frontier = hop(Option(frontier))
+      if (k >= minHops) acc = if (acc == null) frontier else acc.unionByName(frontier)
+    }
+    val landed = acc.join(scan(to), col("__vl_end") === col(s"${to}_id"))
+    (pathVar match {
+      case Some(p) => landed
+        .withColumn(s"${p}_len", size(col("__vl_path")).cast("long"))
+        .withColumnRenamed("__vl_path", s"${p}_edge_ids")
+      case None => landed.drop("__vl_path")
+    }).drop("__vl_end")
+  }
+
   /** Expand into an already-bound variable (cycle closing). */
   def expandInto(bound: DataFrame, from: String, to: String,
       relTypes: Set[String] = Set.empty): DataFrame = {

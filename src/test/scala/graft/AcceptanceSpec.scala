@@ -193,4 +193,54 @@ class AcceptanceSpec extends SparkTestBase {
     assert(mutual == Set(("Alice", "Bob"), ("Bob", "Alice"), ("Bob", "Carol"),
       ("Carol", "Bob"), ("Carol", "Dave"), ("Dave", "Carol")))
   }
+
+  // ---- variable-length expand (beyond the reference: its planner stubs
+  // *1..n as unimplemented, MemOperatorProducer.scala:124-142) ----
+
+  private def alice = demo.scan("n", Set("Person")).where(col("n_name") === "Alice")
+
+  test("expandVarLength *1..2: one row per path, Cypher bag semantics") {
+    // Alice's KNOWS paths: 0→1 (1 hop); 0→1→0 and 0→1→2 (2 hops — returning
+    // to the start over a DIFFERENT relationship is a legal Cypher path)
+    val res = demo.expandVarLength(alice, "n", "b", Set("KNOWS"),
+        minHops = 1, maxHops = 2, pathVar = Some("p"))
+      .select(col("b_name"), col("p_len")).as[(String, Long)].collect().toSeq.sorted
+    assert(res == Seq(("Alice", 2L), ("Bob", 1L), ("Carol", 2L)), s"got $res")
+  }
+
+  test("expandVarLength enforces relationship uniqueness within a path") {
+    // 3-hop from Alice: 0→1→2→{1,3}. The back-and-forth 0→1→0→1 reuses the
+    // 0→1 relationship and must be excluded (Cypher rel-uniqueness).
+    val res = demo.expandVarLength(alice, "n", "b", Set("KNOWS"),
+        minHops = 3, maxHops = 3)
+      .select(col("b_name")).as[String].collect().toSeq.sorted
+    assert(res == Seq("Bob", "Dave"), s"got $res")
+  }
+
+  test("expandVarLength counts parallel paths to the same endpoint (bag, not set)") {
+    // From Carol: 2→1→2 and 2→3→2 are TWO distinct 2-hop cycles back to
+    // Carol, plus 2→1→0 to Alice — three rows, Carol twice
+    val carol = demo.scan("n", Set("Person")).where(col("n_name") === "Carol")
+    val res = demo.expandVarLength(carol, "n", "b", Set("KNOWS"),
+        minHops = 2, maxHops = 2)
+      .select(col("b_name")).as[String].collect().toSeq.sorted
+    assert(res == Seq("Alice", "Carol", "Carol"), s"got $res")
+  }
+
+  test("expandVarLength *0..1 binds the zero-hop path to the start node") {
+    val res = demo.expandVarLength(alice, "n", "b", Set("KNOWS"),
+        minHops = 0, maxHops = 1, pathVar = Some("p"))
+      .select(col("b_name"), col("p_len"), size(col("p_edge_ids")).cast("long"))
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(res == Seq(("Alice", 0L, 0L), ("Bob", 1L, 1L)), s"got $res")
+  }
+
+  test("expandVarLength rejects unbounded / inverted hop ranges") {
+    intercept[IllegalArgumentException] {
+      demo.expandVarLength(alice, "n", "b", Set("KNOWS"), minHops = 3, maxHops = 2)
+    }
+    intercept[IllegalArgumentException] {
+      demo.expandVarLength(alice, "n", "b", Set("KNOWS"), minHops = 1, maxHops = 11)
+    }
+  }
 }

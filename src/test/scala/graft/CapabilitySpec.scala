@@ -22,7 +22,7 @@ class CapabilitySpec extends AnyFunSuite {
     val pinned = Set(
       "start_unit_table", "driving_table", "cypher_match_subset",
       "cypher_rel_binding", "cypher_return_aggregates", "cypher_multi_pattern",
-      "cypher_with",
+      "cypher_with", "var_length_expand",
       "node_scan_label_pruned", "rel_scan_type_pruned",
       "alias", "project", "select_fields", "drop", "remove_aliases",
       "filter_three_valued", "distinct", "aggregate", "order_by", "limit",
@@ -42,7 +42,7 @@ class CapabilitySpec extends AnyFunSuite {
 
   test("unsupported capability blacklist is pinned") {
     val pinned = Set(
-      "var_length_expand", "shortest_path", "skip",
+      "shortest_path", "skip",
       "graph_union_all", "mutation_create", "mutation_merge", "mutation_set",
       "mutation_delete", "cypher_full_grammar", "multimodal_decode_jpeg",
       "multimodal_decode_webp")
@@ -51,7 +51,7 @@ class CapabilitySpec extends AnyFunSuite {
     assert(Capabilities.supported.intersect(Capabilities.unsupported).isEmpty)
   }
 
-  test("PatternMatch public surface is exactly scan/from/expand/expandOptional/expandInto (no silent var-length gains)") {
+  test("PatternMatch public surface is exactly scan/from/expand/expandOptional/expandInto/expandVarLength (no silent surface gains)") {
     val declared = classOf[PatternMatch].getDeclaredMethods.toSeq
       .filter(m => java.lang.reflect.Modifier.isPublic(m.getModifiers)
         && !java.lang.reflect.Modifier.isStatic(m.getModifiers)) // skip companion forwarders
@@ -61,7 +61,8 @@ class CapabilitySpec extends AnyFunSuite {
         "productPrefix", "productElement", "productIterator",
         "productElementName", "productElementNames", "canEqual").contains(n))
       .toSet
-    assert(declared == Set("scan", "from", "expand", "expandOptional", "expandInto"),
+    assert(declared == Set("scan", "from", "expand", "expandOptional", "expandInto",
+      "expandVarLength"),
       s"PatternMatch surface drifted: $declared — update Capabilities + this pin if intentional")
   }
 
@@ -87,6 +88,7 @@ class CapabilitySpec extends AnyFunSuite {
       "remove_aliases" -> "q18_remove_aliases",
       "expand" -> "kg_match_2hop",
       "expand_into" -> "kg_match_triangle",
+      "var_length_expand" -> "kg_match_varlen",
       "optional_match" -> "kg_match_optional",
       "edge_list_tsv_source" -> "el_bench",
       "dedup_embedding_lsh" -> "dd_embed_neardup",

@@ -52,6 +52,48 @@ class CypherLiteSpec extends SparkTestBase {
     assert(res == Seq(("Carol", "Dave")))
   }
 
+  test("var-length *1..2 walks the chain (string surface of expandVarLength)") {
+    val res = CypherLite.run(chain, "MATCH (n:A)-[*1..2]->(b) RETURN b.value")
+      .as[Int].collect().toSeq.sorted
+    assert(res == Seq(2, 3))
+  }
+
+  test("var-length with type alternation restricts the walked edge set") {
+    val res = CypherLite.run(chain,
+      "MATCH (n:A)-[:KNOWS|FRIEND*1..2]->(b) RETURN b.value")
+      .as[Int].collect().toSeq.sorted
+    assert(res == Seq(2, 3))
+    val onlyKnows = CypherLite.run(chain,
+      "MATCH (n:A)-[:KNOWS*1..2]->(b) RETURN b.value").as[Int].collect().toSeq
+    assert(onlyKnows == Seq(2))
+  }
+
+  test("type alternation on a fixed hop: -[:KNOWS|FRIEND]->") {
+    val res = CypherLite.run(chain,
+      "MATCH (n)-[:KNOWS|FRIEND]->(m) RETURN m.value").as[Int].collect().toSeq.sorted
+    assert(res == Seq(2, 3))
+  }
+
+  test("var-length reverse and undirected arrows") {
+    val rev = CypherLite.run(chain, "MATCH (n:C)<-[*1..2]-(b) RETURN b.value")
+      .as[Int].collect().toSeq.sorted
+    assert(rev == Seq(1, 2))
+    // undirected 2-hop from A: A-B then B-C forward, B-A blocked by
+    // relationship uniqueness (same edge id in the flipped view)
+    val undir = CypherLite.run(chain, "MATCH (n:A)-[*2..2]-(b) RETURN b.value")
+      .as[Int].collect().toSeq
+    assert(undir == Seq(3))
+  }
+
+  test("var-length rejections: unbounded, no upper bound, rel var, min>max") {
+    for (q <- Seq(
+      "MATCH (n)-[*]->(b) RETURN b.value",
+      "MATCH (n)-[*2..]->(b) RETURN b.value",
+      "MATCH (n)-[r:KNOWS*1..2]->(b) RETURN b.value",
+      "MATCH (n)-[*3..2]->(b) RETURN b.value"))
+      intercept[CypherLite.ParseError] { CypherLite.run(chain, q) }
+  }
+
   test("label conjunction and IS NOT NULL") {
     val res = CypherLite.run(people,
       "MATCH (n:Person:Moderator) WHERE n.city IS NOT NULL RETURN n.name AS name")
@@ -250,7 +292,7 @@ class CypherLiteSpec extends SparkTestBase {
     def rejected(q: String): Unit =
       assertThrows[CypherLite.ParseError](CypherLite.run(chain, q))
     rejected("OPTIONAL MATCH (n) RETURN n")
-    rejected("MATCH (n)-[*1..2]->(m) RETURN n")
+    rejected("MATCH (n)-[*1..]->(m) RETURN n") // var-length must be bounded
     rejected("MATCH (n)-->(n) RETURN n") // repeated variable in one path
     rejected("MATCH (n)-[r]->(m), (m)-[r]->(o) RETURN n") // rel var reuse across paths
     rejected("MATCH (n) RETURN n SKIP 2")
