@@ -17,6 +17,8 @@ object ProfileKg {
       val t0 = System.nanoTime()
       val c = graft.SparkEntry.queries(n)(spark, sfDir).count()
       println(f"$n: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
+      // sweep-true: Bench releases per-query tracked caches between queries
+      graft.util.TempCaches.release(spark)
     }
     spark.stop()
   }
