@@ -44,6 +44,10 @@ object Capabilities {
     // variable-length expand with Cypher path semantics (one row per path,
     // relationship uniqueness), iterative frontier-join plan
     "var_length_expand",
+    // round 5, BEYOND the reference (TCK-blacklisted there): shortest-path
+    // lengths via level-synchronous BFS with frontier dedup (reachability
+    // form — path contents are not bound)
+    "shortest_path",
     "node_scan_label_pruned",
     "rel_scan_type_pruned",
     "alias",
@@ -98,13 +102,14 @@ object Capabilities {
     "streaming_windowed_agg")
 
   /** Deliberately unsupported — mirrors the reference's own blacklist
-    * (CREATE/MERGE/SET/DELETE, var-length expand, graph union are all
-    * TCK-blacklisted or unimplemented there; SURVEY.md §2.3/§5) plus
-    * surfaces out of scope by the north rule. Each entry is a promise: no
-    * API exists for it, and CapabilitySpec fails if one appears.
+    * (CREATE/MERGE/SET/DELETE and graph union are TCK-blacklisted or
+    * unimplemented there; SURVEY.md §2.3/§5) plus surfaces out of scope by
+    * the north rule. Var-length expand and shortest path, blacklisted in the
+    * reference, moved to `supported` in round 5 (bounded, beyond-reference).
+    * Each entry is a promise: no API exists for it, and CapabilitySpec fails
+    * if one appears.
     */
   val unsupported: Set[String] = Set(
-    "shortest_path",
     "skip", // reference lacks SKIP
     "graph_union_all", // reference MemCypherGraph.unionAll = unimplemented
     "mutation_create",

@@ -219,6 +219,17 @@ object SparkEntry {
         .select(col("n_name"), col("b_name"), col("p_len").as("hops"))
         .distinct()
     }),
+    // Shortest-path lengths (beyond the reference — TCK-blacklisted there):
+    // min directed hops from each Customer over LIVES_IN/LOCATED_IN, ≤ 3.
+    // Name-level min absorbs any id-level name collisions so the projection
+    // matches the oracle's (start name, end name, min len) exactly.
+    "kg_match_shortest" -> ((s, dir) => {
+      val pm = kgPattern(s, dir)
+      val n = pm.scan("n", Set("Customer"))
+      pm.shortestPaths(n, "n", "b", Set("LIVES_IN", "LOCATED_IN"), maxHops = 3)
+        .groupBy(col("n_name"), col("b_name"))
+        .agg(min(col("len")).as("len"))
+    }),
     // Optional expand (OPTIONAL MATCH's one-hop shape, planned as a left
     // outer join like the reference's BinaryOperator.scala:58-59): every node
     // keeps its row; only Customers have an outgoing LIVES_IN edge, so
@@ -640,6 +651,16 @@ object SparkEntry {
         "SELECT DISTINCT c_name, n_name AS b_name FROM b " +
         "UNION " +
         "SELECT DISTINCT c_name, r_name AS b_name FROM b"),
+    // shortest path: len 0 = the customer itself, len 1 = its nation,
+    // len 2 = the nation's region (nation→region functional; BASED_IN is
+    // excluded from the walked types); MIN over the union guards the rare
+    // cross-layer name collision
+    "kg_match_shortest" ->
+      (s"WITH b AS ($B), u AS (" +
+        "SELECT DISTINCT c_name AS n_name, c_name AS b_name, 0 AS l FROM b " +
+        "UNION ALL SELECT DISTINCT c_name, n_name, 1 FROM b " +
+        "UNION ALL SELECT DISTINCT c_name, r_name, 2 FROM b) " +
+        "SELECT n_name, b_name, CAST(MIN(l) AS BIGINT) AS len FROM u GROUP BY 1, 2"),
     // var-length *1..2 over LIVES_IN/LOCATED_IN from customers: hop 1 lands
     // on the nation, hop 2 on its region (nation→region is functional in
     // this corpus, so the same-row projection is exhaustive — the same

@@ -143,6 +143,58 @@ final case class PatternMatch(nodes: DataFrame, edges: DataFrame) {
     }).drop("__vl_end")
   }
 
+  /** Shortest-path lengths — `shortestPath((from)-[:T*0..max]->(to))`
+    * collapsed to (pair, min hop count): for every bound row and every node
+    * reachable from its `from` binding within `maxHops` directed hops, one
+    * row with `to` bound and `<lenCol>` = the minimum hop count (0 = the
+    * start node itself, per Cypher's zero-length shortestPath). BEYOND the
+    * reference (TCK-blacklisted there); path CONTENTS are not bound — this
+    * is the length/reachability form, the one that scales.
+    *
+    * Plan shape: level-synchronous BFS with per-level frontier dedup —
+    * round k is one shuffle join of the hop-(k-1) frontier against the
+    * type-pruned edge table plus an anti-join against the reached set, so
+    * state grows with |reachable pairs| (the answer size), never with path
+    * counts (an enumeration like [[expandVarLength]] would explode on dense
+    * graphs). Each round localCheckpoints (lineage cut, like
+    * [[graft.operators.canon.ConnectedComponents]]) and the loop stops
+    * early on an empty frontier. Reachability depends only on the start
+    * NODE, so the BFS runs over distinct start ids and joins back to
+    * `bound` at the end — duplicate bound rows don't multiply BFS work.
+    */
+  def shortestPaths(bound: DataFrame, from: String, to: String,
+      relTypes: Set[String] = Set.empty, maxHops: Int, lenCol: String = "len"): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 10,
+      s"shortestPaths: need 1 <= maxHops <= 10, got $maxHops (each BFS level is a distributed join)")
+    val typed = if (relTypes.isEmpty) edges else edges.where(col("rel_type").isin(relTypes.toSeq: _*))
+    val e = typed.select(col("src").as("__sp_src"), col("dst").as("__sp_dst"))
+    val starts = bound.select(col(s"${from}_id").as("__sp_start")).distinct()
+    var reached = starts
+      .select(col("__sp_start"), col("__sp_start").as("__sp_end"), lit(0L).as("__sp_len"))
+      .localCheckpoint(true)
+    var frontier = reached
+    var k = 1
+    var exhausted = false
+    while (k <= maxHops && !exhausted) {
+      val next = frontier.join(e, col("__sp_end") === col("__sp_src"))
+        .select(col("__sp_start"), col("__sp_dst").as("__sp_end"), lit(k.toLong).as("__sp_len"))
+        .distinct()
+        .join(reached.select(col("__sp_start"), col("__sp_end")),
+          Seq("__sp_start", "__sp_end"), "left_anti")
+        .localCheckpoint(true)
+      exhausted = next.isEmpty
+      if (!exhausted) {
+        reached = reached.unionByName(next).localCheckpoint(true)
+        frontier = next
+      }
+      k += 1
+    }
+    bound.join(reached, col(s"${from}_id") === col("__sp_start"))
+      .join(scan(to), col("__sp_end") === col(s"${to}_id"))
+      .withColumn(lenCol, col("__sp_len"))
+      .drop("__sp_start", "__sp_end", "__sp_len")
+  }
+
   /** Expand into an already-bound variable (cycle closing). */
   def expandInto(bound: DataFrame, from: String, to: String,
       relTypes: Set[String] = Set.empty): DataFrame = {

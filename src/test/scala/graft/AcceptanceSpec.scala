@@ -235,6 +235,30 @@ class AcceptanceSpec extends SparkTestBase {
     assert(res == Seq(("Alice", 0L, 0L), ("Bob", 1L, 1L)), s"got $res")
   }
 
+  test("shortestPaths: min hop count per reachable node, zero-length included") {
+    // BFS over KNOWS from Alice(0): self 0; Bob 1; Carol 2 (0→1→2);
+    // Dave 3 (0→1→2→3) — one row per (pair), never per path
+    val res = demo.shortestPaths(alice, "n", "b", Set("KNOWS"), maxHops = 4)
+      .select(col("b_name"), col("len")).as[(String, Long)].collect().toSeq.sorted
+    assert(res == Seq(("Alice", 0L), ("Bob", 1L), ("Carol", 2L), ("Dave", 3L)), s"got $res")
+  }
+
+  test("shortestPaths: maxHops truncates; early-exit when the frontier dries up") {
+    val res = demo.shortestPaths(alice, "n", "b", Set("KNOWS"), maxHops = 2)
+      .select(col("b_name"), col("len")).as[(String, Long)].collect().toSeq.sorted
+    assert(res == Seq(("Alice", 0L), ("Bob", 1L), ("Carol", 2L)), s"got $res")
+    // maxHops far beyond the component diameter must not loop: the KNOWS
+    // component from Alice is exhausted at depth 3
+    val far = demo.shortestPaths(alice, "n", "b", Set("KNOWS"), maxHops = 10)
+    assert(far.count() == 4)
+  }
+
+  test("shortestPaths: duplicate bound rows don't multiply BFS work or rows") {
+    val two = alice.unionByName(alice) // same start node twice
+    val res = demo.shortestPaths(two, "n", "b", Set("KNOWS"), maxHops = 2)
+    assert(res.count() == 6) // 3 reachable × 2 bound rows, not 3 × 4
+  }
+
   test("expandVarLength rejects unbounded / inverted hop ranges") {
     intercept[IllegalArgumentException] {
       demo.expandVarLength(alice, "n", "b", Set("KNOWS"), minHops = 3, maxHops = 2)

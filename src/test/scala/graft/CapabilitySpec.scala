@@ -22,7 +22,7 @@ class CapabilitySpec extends AnyFunSuite {
     val pinned = Set(
       "start_unit_table", "driving_table", "cypher_match_subset",
       "cypher_rel_binding", "cypher_return_aggregates", "cypher_multi_pattern",
-      "cypher_with", "var_length_expand",
+      "cypher_with", "var_length_expand", "shortest_path",
       "node_scan_label_pruned", "rel_scan_type_pruned",
       "alias", "project", "select_fields", "drop", "remove_aliases",
       "filter_three_valued", "distinct", "aggregate", "order_by", "limit",
@@ -42,7 +42,7 @@ class CapabilitySpec extends AnyFunSuite {
 
   test("unsupported capability blacklist is pinned") {
     val pinned = Set(
-      "shortest_path", "skip",
+      "skip",
       "graph_union_all", "mutation_create", "mutation_merge", "mutation_set",
       "mutation_delete", "cypher_full_grammar", "multimodal_decode_jpeg",
       "multimodal_decode_webp")
@@ -62,7 +62,7 @@ class CapabilitySpec extends AnyFunSuite {
         "productElementName", "productElementNames", "canEqual").contains(n))
       .toSet
     assert(declared == Set("scan", "from", "expand", "expandOptional", "expandInto",
-      "expandVarLength"),
+      "expandVarLength", "shortestPaths"),
       s"PatternMatch surface drifted: $declared — update Capabilities + this pin if intentional")
   }
 
@@ -89,6 +89,7 @@ class CapabilitySpec extends AnyFunSuite {
       "expand" -> "kg_match_2hop",
       "expand_into" -> "kg_match_triangle",
       "var_length_expand" -> "kg_match_varlen",
+      "shortest_path" -> "kg_match_shortest",
       "optional_match" -> "kg_match_optional",
       "edge_list_tsv_source" -> "el_bench",
       "dedup_embedding_lsh" -> "dd_embed_neardup",
