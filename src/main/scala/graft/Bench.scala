@@ -503,15 +503,28 @@ object Bench {
     // 1.06M conv — the measured pair cost could not fit twice in the 1935 s
     // remaining.
     val margin = 60.0
-    var warmFit: Option[Double] = None // sec per conv for one (peak+hi+lo) round
+    var warmFit: Option[Double] = None // sec per conv for one (hi+lo) pair
     val rungs = Seq(40L, 16L).map(d => math.max(nConvReq / d, 200L)).distinct
     var bestCost = Double.MaxValue
+    // Weather-resistant per-config cost estimates: the MINIMUM per-conv wall
+    // cost across warmup rungs, per config. Contamination only ever inflates
+    // a trial, so the min is the closest observation to the engine's true
+    // cost (the same best-trial philosophy as the clean rule) — the 08:58
+    // window's 256 s weather-hit peak rung sank the last-rung-only fit 4×
+    // and forced the 150k hard-minimum corpus. The 1.7 safety factor already
+    // covers genuine per-conv cost growth with corpus size.
+    var costPeak = Double.MaxValue
+    var costHi = Double.MaxValue
+    var costLo = Double.MaxValue
     var keepWarming = true
     for (wc <- rungs if keepWarming && elapsed < 0.35 * budgetSec) {
       val wp = if (peakCores > 0) Some(pipelineRun(peakCores, wc)) else None
       val wh = pipelineRun(hiCores, wc)
       val wl = pipelineRun(loCores, wc)
-      warmFit = Some((wp.map(_.sec).getOrElse(0.0) + wh.sec + wl.sec) / wc)
+      wp.foreach(p => costPeak = math.min(costPeak, p.sec / wc))
+      costHi = math.min(costHi, wh.sec / wc)
+      costLo = math.min(costLo, wl.sec / wc)
+      warmFit = Some(costHi + costLo)
       val c = (wp.toSeq :+ wh :+ wl).map(_.cpuPerTurn).min
       System.err.println(f"[bench] warmup@$wc%d conv: peak ${wp.map(_.sec).getOrElse(0.0)}%.1fs " +
         f"hi ${wh.sec}%.1fs lo ${wl.sec}%.1fs " +
@@ -524,8 +537,12 @@ object Bench {
         val rem = budgetSec - elapsed - margin
         // the chosen corpus must also pay its own one-time generation, and
         // each round carries the two calibration kernels (~30% of a
-        // pipeline pair — the map stages' share) on top of the 1.7 safety
-        val fit2 = (rem / (3.0 * 1.3 * 1.7 * pairSecPerConv + genSecPerConv)).toLong
+        // pipeline pair — the map stages' share) on top of the 1.7 safety.
+        // The peak-32 trial runs ONCE, after the efficiency pairs (peak-last
+        // ordering) — charge it once, not per pair-slot.
+        val peakSecPerConv = if (costPeak != Double.MaxValue) costPeak else 0.0
+        val fit2 = (rem /
+          (3.0 * 1.3 * 1.7 * pairSecPerConv + 1.7 * peakSecPerConv + genSecPerConv)).toLong
         // The floor is the work ≫ overhead threshold, but it must YIELD to
         // the budget: under heavy co-tenant weather (dress rehearsal #3
         // measured a 137.9 s hi rung that quiet hosts run in 35 s) forcing
