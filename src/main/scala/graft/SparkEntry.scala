@@ -332,6 +332,26 @@ object SparkEntry {
         "MATCH (c:Customer)-[:LIVES_IN]->(n) WITH DISTINCT n " +
           "MATCH (n)-[:LOCATED_IN]->(r) " +
           "RETURN DISTINCT n.name AS n_name, r.name AS r_name")),
+    // OPTIONAL MATCH in the string entry (the reference plans optional
+    // parts onto LeftOuterJoin, impl/planning/BinaryOperator.scala:58-60):
+    // the WHERE filters the optional side PRE-join, so nations whose
+    // customers all sort >= $cap keep their row with a null c_name.
+    "kg_cypher_optional" -> ((s, dir) =>
+      graft.graph.CypherLite.run(kgPattern(s, dir),
+        "MATCH (n:Nation) OPTIONAL MATCH (c:Customer)-[:LIVES_IN]->(n) " +
+          "WHERE c.name < $cap " +
+          "RETURN DISTINCT n.name AS n_name, c.name AS c_name",
+        Map("cap" -> "Customer#000000030"))),
+    // UNION ALL in the string entry (the reference's TabularUnionAll,
+    // impl/planning/BinaryOperator.scala:75-80, planned at
+    // MemOperatorProducer.scala:120-122): both parts return the same
+    // nation-name set, so the bag union holds every name exactly twice —
+    // proving ALL (no dedup) end to end.
+    "kg_cypher_union" -> ((s, dir) =>
+      graft.graph.CypherLite.run(kgPattern(s, dir),
+        "MATCH (c:Customer)-[:LIVES_IN]->(n) RETURN DISTINCT n.name AS nation " +
+          "UNION ALL " +
+          "MATCH (x:Nation)-[:LOCATED_IN]->(r) RETURN DISTINCT x.name AS nation")),
     // Demo shape (reference apps/Demo.scala:31-42): label scan + project +
     // ORDER BY over node properties.
     "kg_match_demo" -> ((s, dir) =>
@@ -724,6 +744,17 @@ object SparkEntry {
     // WITH → second MATCH ≡ nations with a customer, joined to their region
     "kg_cypher_with_match" ->
       s"WITH b AS ($B) SELECT DISTINCT n_name, r_name FROM b",
+    // OPTIONAL MATCH ≡ every nation LEFT JOINed to its sub-$cap customers
+    // (the filter applies to the join's right side, not the joined rows)
+    "kg_cypher_optional" ->
+      (s"WITH b AS ($B), nat AS (SELECT DISTINCT n_name FROM b), " +
+        "l AS (SELECT DISTINCT c_name, n_name FROM b WHERE c_name < 'Customer#000000030') " +
+        "SELECT DISTINCT nat.n_name AS n_name, l.c_name AS c_name " +
+        "FROM nat LEFT JOIN l USING (n_name)"),
+    // UNION ALL ≡ the distinct nation names, twice (bag union, no dedup)
+    "kg_cypher_union" ->
+      (s"WITH b AS ($B), d AS (SELECT DISTINCT n_name FROM b) " +
+        "SELECT n_name AS nation FROM d UNION ALL SELECT n_name AS nation FROM d"),
 
     "q01_scan_filter" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_quantity > 45",

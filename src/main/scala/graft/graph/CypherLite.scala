@@ -38,6 +38,9 @@ import org.apache.spark.sql.functions._
   * [WHERE disjunct [OR disjunct ...]]      disjunct := cond [AND cond ...]
   *   cond := ref (=|<>|<|<=|>|>=) (literal|$param) | ref IS [NOT] NULL
   *   ref  := v.prop | type(r) | startNode(r) | endNode(r) | alias
+  * (OPTIONAL MATCH path [, path ...]       (left-outer-joined onto the
+  *   [WHERE ...] )*                         bound rows; its WHERE filters
+  *                                          the optional side PRE-join)
   * ( WITH [DISTINCT] witem [, witem ...]   witem := v | ref AS alias
   *                                                | agg AS alias
   *   [WHERE ...]                           (filters the WITH projection —
@@ -49,6 +52,10 @@ import org.apache.spark.sql.functions._
   *        | sum(ref) | collect(ref)
   * [ORDER BY key [ASC|DESC] [, ...]]       key  := v.prop | alias
   * [LIMIT (k|$param)]
+  *
+  * query [UNION ALL query ...]             (full queries; same column names
+  *                                          in the same order, per Cypher —
+  *                                          no ORDER BY/LIMIT inside parts)
   * }}}
   *
   * Semantics notes:
@@ -64,6 +71,20 @@ import org.apache.spark.sql.functions._
   *  - Multiple comma-separated paths combine like the reference's
   *    CartesianProduct planning: disjoint paths cross-join; paths sharing a
   *    node variable equi-join on that variable's binding.
+  *  - OPTIONAL MATCH plans its pattern like a MATCH, applies its own WHERE
+  *    to that plan (pre-join, Cypher's semantics — the predicate is part of
+  *    the optional pattern), then LEFT-outer-joins onto the bound rows on
+  *    the shared node variables' id bindings (the reference plans optional
+  *    parts onto LeftOuterJoin, impl/planning/BinaryOperator.scala:58-60);
+  *    rows with no optional match null-pad the optional-only variables. At
+  *    least one bound node variable must be shared — a disconnected
+  *    optional pattern is outside the fragment.
+  *  - UNION ALL combines full queries by bag union (the reference's
+  *    TabularUnionAll, impl/planning/BinaryOperator.scala:75-80, planned at
+  *    MemOperatorProducer.scala:120-122); Cypher's rule applies — every
+  *    part must return the same column names in the same order. UNION
+  *    (distinct) stays outside the fragment, as do ORDER BY/LIMIT inside
+  *    union parts.
   *  - Aggregates in RETURN group by the non-aggregated items (Cypher's
   *    implicit grouping). `collect` is the engine's deterministic collect
   *    (sorted ascending), matching the programmatic operator (q06).
@@ -91,7 +112,7 @@ import org.apache.spark.sql.functions._
 object CypherLite {
 
   final case class ParseError(msg: String) extends IllegalArgumentException(
-    s"CypherLite: $msg (supported fragment: MATCH path[, path ...] [WHERE ...] (WITH items [WHERE ...] [MATCH ...])* RETURN [DISTINCT] items [ORDER BY ...] [LIMIT n])")
+    s"CypherLite: $msg (supported fragment: MATCH path[, path ...] [WHERE ...] (OPTIONAL MATCH path [WHERE ...])* (WITH items [WHERE ...] [MATCH ...])* RETURN [DISTINCT] items [ORDER BY ...] [LIMIT n], parts joinable by UNION ALL)")
 
   private val nodeRe = """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*((?::[A-Za-z_][A-Za-z0-9_]*)*)\s*\)""".r
   // one regex for every arrow form; a hop with both '<' and '>' is rejected
@@ -223,18 +244,50 @@ object CypherLite {
     */
   def run(pm: PatternMatch, query: String, params: Map[String, Any] = Map.empty): DataFrame = {
     val q = normalize(query)
+    // UNION ALL between full queries → the reference's TabularUnionAll
+    // (impl/planning/BinaryOperator.scala:75-80, planned at
+    // MemOperatorProducer.scala:120-122). Split first so the bare-UNION
+    // rejection below only ever sees the distinct variant.
+    val parts = splitOn(q, "UNION ALL")
+    if (parts.length > 1) {
+      val dfs = parts.map { p =>
+        val mu = maskedUpper(p)
+        for (kw <- Seq("ORDER BY", "LIMIT"))
+          if (findKw(mu, kw) >= 0)
+            throw ParseError(s"'$kw' inside a UNION ALL part is not in the supported fragment")
+        runSingle(pm, p, params)
+      }
+      val head = dfs.head.columns.toSeq
+      dfs.tail.foreach { d =>
+        if (d.columns.toSeq != head)
+          throw ParseError("UNION ALL parts must return the same column names in the same order: " +
+            s"(${head.mkString(", ")}) vs (${d.columns.mkString(", ")})")
+      }
+      dfs.reduceLeft(_ unionByName _)
+    } else runSingle(pm, q, params)
+  }
+
+  private def runSingle(pm: PatternMatch, q: String, params: Map[String, Any]): DataFrame = {
     val upper = maskedUpper(q)
-    for (kw <- Seq("OPTIONAL MATCH", "CREATE", "MERGE", "DELETE", "SET", "UNION", "SKIP"))
+    for (kw <- Seq("CREATE", "MERGE", "DELETE", "SET", "SKIP"))
       if (findKw(upper, kw) >= 0) throw ParseError(s"'$kw' is not in the supported fragment")
+    if (findKw(upper, "UNION") >= 0)
+      throw ParseError("UNION (distinct) is not in the supported fragment — UNION ALL is")
 
     // ---- clause segmentation: every top-level keyword, in query order ----
     case class Clause(kw: String, body: String)
-    val starts = Seq("MATCH", "WHERE", "WITH", "RETURN", "ORDER BY", "LIMIT").flatMap { kw =>
+    val rawStarts = Seq("MATCH", "OPTIONAL MATCH", "WHERE", "WITH", "RETURN", "ORDER BY", "LIMIT").flatMap { kw =>
       var acc = List.empty[(Int, String)]
       var i = findKw(upper, kw)
       while (i >= 0) { acc ::= ((i, kw)); i = findKw(upper, kw, i + kw.length) }
       acc
     }.sortBy(_._1)
+    // the MATCH inside each OPTIONAL MATCH also matched the bare keyword —
+    // drop those shadowed hits
+    val optMatchAt = rawStarts.collect {
+      case (i, "OPTIONAL MATCH") => i + "OPTIONAL ".length
+    }.toSet
+    val starts = rawStarts.filterNot { case (i, kw) => kw == "MATCH" && optMatchAt.contains(i) }
     if (starts.isEmpty || starts.head != ((0, "MATCH")))
       throw ParseError("query must start with MATCH")
     if (starts.count(_._2 == "RETURN") != 1)
@@ -339,24 +392,28 @@ object CypherLite {
     var scalarCols = Set.empty[String] // aliases a WITH introduced
 
     /** `v.prop` / `type(r)` / `startNode(r)` / `endNode(r)` / WITH-alias
-      * → in-flight column, against the CURRENT part's bindings.
+      * → in-flight column, against the GIVEN bindings (the current part's
+      * by default; an OPTIONAL MATCH WHERE resolves against the optional
+      * plan's own bindings instead).
       */
-    def resolveRef(s: String): Option[(Column, String)] = s.trim match {
+    def resolveRefIn(nv: Set[String], rv: Set[String], sc: Set[String])(s: String): Option[(Column, String)] = s.trim match {
       case propRe(v, p) =>
-        if (!nodeVars.contains(v) && !relVars.contains(v))
+        if (!nv.contains(v) && !rv.contains(v))
           throw ParseError(s"unknown variable '$v'")
         Some((col(s"${v}_$p"), s"${v}_$p"))
       case funcRe(f, r) =>
-        if (!relVars.contains(r)) throw ParseError(s"'$f' expects a relationship variable, got '$r'")
+        if (!rv.contains(r)) throw ParseError(s"'$f' expects a relationship variable, got '$r'")
         val c = f.toLowerCase match {
           case "type" => s"${r}_rel_type"
           case "startnode" => s"${r}_src"
           case "endnode" => s"${r}_dst"
         }
         Some((col(c), c))
-      case name if scalarCols.contains(name) => Some((col(name), name))
+      case name if sc.contains(name) => Some((col(name), name))
       case _ => None
     }
+    def resolveRef(s: String): Option[(Column, String)] =
+      resolveRefIn(nodeVars, relVars, scalarCols)(s)
     def ref(s: String): Column =
       resolveRef(s).getOrElse(throw ParseError(s"unsupported expression '$s'"))._1
 
@@ -366,26 +423,27 @@ object CypherLite {
     // (id equality implies the rest — the using-join also dedups columns).
     // A follow-up MATCH after WITH folds into the carried bindings the same
     // way: variables kept by the WITH join, fresh patterns cross.
-    def applyMatch(patternStr: String): Unit = {
-      def merge(acc: PathPlan, p: PathPlan): PathPlan = {
-        if ((acc.relVars intersect p.relVars).nonEmpty)
-          throw ParseError(s"relationship variable reused across paths: ${(acc.relVars intersect p.relVars).mkString(", ")}")
-        if ((acc.nodeVars intersect p.nodeVars).isEmpty)
-          PathPlan(acc.df.crossJoin(p.df), acc.nodeVars ++ p.nodeVars, acc.relVars ++ p.relVars)
-        else {
-          val shared = acc.nodeVars intersect p.nodeVars
-          // join on the shared ids only — id equality implies the rest of
-          // the binding (same graph), and id-only keys keep the shuffle from
-          // hashing wide rows and array (labels) columns. The incoming
-          // side's duplicate non-id shared columns are dropped AFTER its own
-          // label filters already applied.
-          val idCols = shared.map(v => s"${v}_id").toSeq
-          val dup = p.df.columns
-            .filter(c => shared.exists(v => c.startsWith(s"${v}_")) && !idCols.contains(c))
-          PathPlan(acc.df.join(p.df.drop(dup.toSeq: _*), idCols),
-            acc.nodeVars ++ p.nodeVars, acc.relVars ++ p.relVars)
-        }
+    def merge(acc: PathPlan, p: PathPlan): PathPlan = {
+      if ((acc.relVars intersect p.relVars).nonEmpty)
+        throw ParseError(s"relationship variable reused across paths: ${(acc.relVars intersect p.relVars).mkString(", ")}")
+      if ((acc.nodeVars intersect p.nodeVars).isEmpty)
+        PathPlan(acc.df.crossJoin(p.df), acc.nodeVars ++ p.nodeVars, acc.relVars ++ p.relVars)
+      else {
+        val shared = acc.nodeVars intersect p.nodeVars
+        // join on the shared ids only — id equality implies the rest of
+        // the binding (same graph), and id-only keys keep the shuffle from
+        // hashing wide rows and array (labels) columns. The incoming
+        // side's duplicate non-id shared columns are dropped AFTER its own
+        // label filters already applied.
+        val idCols = shared.map(v => s"${v}_id").toSeq
+        val dup = p.df.columns
+          .filter(c => shared.exists(v => c.startsWith(s"${v}_")) && !idCols.contains(c))
+        PathPlan(acc.df.join(p.df.drop(dup.toSeq: _*), idCols),
+          acc.nodeVars ++ p.nodeVars, acc.relVars ++ p.relVars)
       }
+    }
+
+    def applyMatch(patternStr: String): Unit = {
       val plans = pathStr2Paths(patternStr).map(planPath)
       val combined =
         if (bound == null) plans.reduceLeft(merge)
@@ -397,11 +455,40 @@ object CypherLite {
     // reference evaluates flat Ands/Ors lists the same way,
     // CypherMapOps.scala:74-80). After a WITH it filters the projection —
     // HAVING when the WITH aggregated.
-    def applyWhere(w: String): Unit = {
-      val disjuncts = splitOn(w, "OR").map { d =>
-        splitOn(d, "AND").map(parseCond(_, ref, params)).reduce(_ && _)
-      }
-      bound = bound.where(disjuncts.reduce(_ || _))
+    def whereCol(w: String, refFn: String => Column): Column =
+      splitOn(w, "OR").map { d =>
+        splitOn(d, "AND").map(parseCond(_, refFn, params)).reduce(_ && _)
+      }.reduce(_ || _)
+    def applyWhere(w: String): Unit = bound = bound.where(whereCol(w, ref))
+
+    // ---- OPTIONAL MATCH: plan the pattern like a MATCH, hold it until the
+    // next clause (its own WHERE filters the optional plan PRE-join), then
+    // LEFT-outer-join onto the bound rows on the shared node ids (the
+    // reference plans optional parts onto LeftOuterJoin,
+    // impl/planning/BinaryOperator.scala:58-60) ----
+    var pendingOpt: Option[PathPlan] = None
+    def beginOptional(patternStr: String): Unit = {
+      if (bound == null) throw ParseError("OPTIONAL MATCH must follow a MATCH part")
+      pendingOpt = Some(pathStr2Paths(patternStr).map(planPath).reduceLeft(merge))
+    }
+    def whereOptional(w: String): Unit = pendingOpt = pendingOpt.map { p =>
+      val optRef: String => Column = s =>
+        resolveRefIn(p.nodeVars, p.relVars, Set.empty)(s)
+          .getOrElse(throw ParseError(s"unsupported expression '$s' (an OPTIONAL MATCH WHERE sees only the optional pattern's variables)"))._1
+      p.copy(df = p.df.where(whereCol(w, optRef)))
+    }
+    def flushOptional(): Unit = pendingOpt.foreach { p =>
+      val shared = nodeVars intersect p.nodeVars
+      if (shared.isEmpty)
+        throw ParseError("OPTIONAL MATCH must share at least one bound node variable with the preceding part")
+      if ((relVars intersect p.relVars).nonEmpty)
+        throw ParseError(s"relationship variable reused across paths: ${(relVars intersect p.relVars).mkString(", ")}")
+      val idCols = shared.map(v => s"${v}_id").toSeq
+      val dup = p.df.columns
+        .filter(c => shared.exists(v => c.startsWith(s"${v}_")) && !idCols.contains(c))
+      bound = bound.join(p.df.drop(dup.toSeq: _*), idCols, "left")
+      nodeVars ++= p.nodeVars; relVars ++= p.relVars
+      pendingOpt = None
     }
 
     // ---- WITH / RETURN projection: plain refs, bare variables (splat),
@@ -509,14 +596,19 @@ object CypherLite {
       (cl.kw, last) match {
         case ("MATCH", "" | "WITH" | "WITH-WHERE") => applyMatch(cl.body)
         case ("MATCH", _) =>
-          throw ParseError("MATCH may only start the query or follow a WITH (consecutive MATCH clauses: use comma-separated patterns)")
+          throw ParseError("MATCH may only start the query or follow a WITH (consecutive MATCH clauses: use comma-separated patterns; after an OPTIONAL MATCH, Cypher itself forbids a plain MATCH)")
+        case ("OPTIONAL MATCH", "MATCH" | "MATCH-WHERE" | "OPT" | "OPT-WHERE" | "WITH" | "WITH-WHERE") =>
+          flushOptional(); beginOptional(cl.body)
+        case ("OPTIONAL MATCH", _) =>
+          throw ParseError("OPTIONAL MATCH must follow a MATCH, OPTIONAL MATCH or WITH part")
         case ("WHERE", "MATCH" | "WITH") => applyWhere(cl.body)
-        case ("WHERE", _) => throw ParseError("WHERE must directly follow MATCH or WITH")
-        case ("WITH", "MATCH" | "MATCH-WHERE" | "WITH" | "WITH-WHERE") =>
-          bound = project(cl.body, isWith = true)
+        case ("WHERE", "OPT") => whereOptional(cl.body)
+        case ("WHERE", _) => throw ParseError("WHERE must directly follow MATCH, OPTIONAL MATCH or WITH")
+        case ("WITH", "MATCH" | "MATCH-WHERE" | "OPT" | "OPT-WHERE" | "WITH" | "WITH-WHERE") =>
+          flushOptional(); bound = project(cl.body, isWith = true)
         case ("WITH", _) => throw ParseError("WITH must follow a MATCH or WITH part")
-        case ("RETURN", "MATCH" | "MATCH-WHERE" | "WITH" | "WITH-WHERE") =>
-          returnBody = cl.body
+        case ("RETURN", "MATCH" | "MATCH-WHERE" | "OPT" | "OPT-WHERE" | "WITH" | "WITH-WHERE") =>
+          flushOptional(); returnBody = cl.body
         case ("RETURN", _) => throw ParseError("RETURN must close a MATCH or WITH part")
         case ("ORDER BY", "RETURN") => orderBody = Some(cl.body)
         case ("ORDER BY", _) =>
@@ -524,7 +616,7 @@ object CypherLite {
         case ("LIMIT", "RETURN" | "ORDER BY") => limitN = Some(parseLimit(cl.body))
         case ("LIMIT", _) => throw ParseError("LIMIT is only supported at the end of the query")
       }
-      last = if (cl.kw == "WHERE") s"$last-WHERE" else cl.kw
+      last = if (cl.kw == "WHERE") s"$last-WHERE" else if (cl.kw == "OPTIONAL MATCH") "OPT" else cl.kw
     }
 
     var out = project(returnBody, isWith = false)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
-  * (`array<float>`). Two paths:
+  * (`array<float>`). Three paths:
   *
   *  - [[bruteTopK]]: exact cosine top-k — broadcast the (small) query set
   *    against the full corpus; the corpus never shuffles, ranking is a
@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   *    seed, shipped as literals); only same-bucket pairs are scored, with
   *    multi-probe (all buckets at Hamming distance ≤ 1) to recover boundary
   *    losses. The scale path: candidate volume ∝ corpus/2^r per query.
+  *  - [[ivfTopK]]: inverted-file index — a coarse k-means quantizer (trained
+  *    on a deterministic hash-sample, Lloyd iterations as plain DataFrame
+  *    aggregations) partitions the corpus into cells; a query scores only
+  *    the `nProbe` cells whose centroids are nearest. The data-adaptive
+  *    scale path: candidate volume ∝ corpus × nProbe / cells per query.
   */
 object SimilaritySearch {
   import graft.functions.VectorOps.{asDouble, cosine, dot => dotD}
@@ -105,6 +110,95 @@ object SimilaritySearch {
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .select(col("query_id"), col("neighbor_id"), col("cos"))
       .distinct()
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Cell count for an IVF index over `n` vectors: the standard
+    * `ceil(sqrt(n))` rule (FAISS guideline: nlist ≈ √n balances the two
+    * query-side costs — centroid scan ∝ cells vs candidate scan ∝
+    * n·nProbe/cells), clamped to [4, 4096].
+    */
+  def autoCells(n: Long): Int =
+    math.min(4096, math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** ANN top-k via an inverted-file (IVF) index: a coarse k-means quantizer
+    * assigns every corpus vector to its nearest centroid's cell; a query
+    * scores only the cells of its `nProbe` nearest centroids, exact-cosine
+    * ranked. Returns (query_id, neighbor_id, rank) like the other paths;
+    * approximate — neighbors quantized into unprobed cells are missed
+    * (recall is spec-gated vs [[bruteTopK]]).
+    *
+    * All distributed, no driver-side collection:
+    *  - TRAIN on a deterministic hash-sample of ≤ `trainCap` vectors:
+    *    centroids seed from the `cells` smallest xxhash64 ids, then
+    *    `lloydIters` rounds of assign (broadcast centroids, map-side
+    *    argmax) + update (posexplode → per-(cell, dim) partial-agg mean →
+    *    rebuilt vector). Empty cells drop out naturally.
+    *  - INDEX the full corpus in one map-side pass against the broadcast
+    *    final centroids (the n·cells scoring never shuffles; the argmax is
+    *    a partial-agg groupBy on the vector id). At production scale the
+    *    (cell, vector) table is the thing to persist/bucket by cell —
+    *    rebuilds are one scan.
+    *  - QUERY: broadcast the probe batch against the centroids (tiny),
+    *    keep `nProbe` cells per query, then one equi-join on `cell`
+    *    against the index — candidates ∝ corpus × nProbe / cells, i.e.
+    *    linear in corpus for the √n auto rule with fixed occupancy.
+    *
+    * Ties in both argmaxes break on the lower cell id / neighbor id, so the
+    * result is deterministic given the trained centroids (float means are
+    * order-sensitive at the ulp level — same caveat as every distributed
+    * k-means; the recall gate, not a hash oracle, is the correctness check).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
+      k: Int, nCells: Int = 0, nProbe: Int = 4, lloydIters: Int = 2,
+      trainCap: Long = 65536L, seed: Long = 42L): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val n = c0.count()
+    val cells = if (nCells > 0) nCells else autoCells(n)
+
+    val h = xxhash64(lit(seed), col("neighbor_id"))
+    val train =
+      if (n <= trainCap) c0
+      else c0.where(pmod(h, lit(math.max(1L, n / trainCap))) === 0)
+
+    // nearest-centroid cell per vector: broadcast the centroid table, score
+    // map-side, argmax via max(struct) partial aggregation (ties → lowest
+    // cell). first(cv) is well-defined: every row of a group carries the
+    // same vector.
+    def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(centroids))
+        .withColumn("cos", cosine(col("cv"), col("cvec")))
+        .groupBy("neighbor_id")
+        .agg(max(struct(col("cos"), (-col("cell")).as("nc"))).as("b"),
+          first("cv").as("cv"))
+        .select(col("neighbor_id"), (-col("b.nc")).cast("int").as("cell"), col("cv"))
+
+    val initW = Window.orderBy("h") // `cells` rows — single partition is the point
+    var centroids = train.withColumn("h", h).orderBy("h").limit(cells)
+      .select((row_number().over(initW) - 1).as("cell"), col("cv").as("cvec"))
+    for (_ <- 0 until lloydIters) {
+      centroids = assign(train, centroids)
+        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("x"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+          s => s.getField("x")).as("cvec"))
+    }
+
+    val indexed = assign(c0, centroids)
+    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val qw = Window.partitionBy("query_id").orderBy(desc("ccos"), asc("cell"))
+    val probes = q0.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col("qv"), col("cvec")))
+      .withColumn("crank", row_number().over(qw))
+      .where(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = indexed.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

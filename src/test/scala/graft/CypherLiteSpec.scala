@@ -288,10 +288,70 @@ class CypherLiteSpec extends SparkTestBase {
       "MATCH (n:Person) WITH n.age AS age ORDER BY age RETURN age"))
   }
 
+  test("OPTIONAL MATCH left-joins; unmatched rows null-pad the optional variables (reference BinaryOperator.scala:58-60)") {
+    // every Person row survives; only Alice and Carol have outgoing KNOWS
+    val res = CypherLite.run(people,
+      "MATCH (n:Person) OPTIONAL MATCH (n)-[:KNOWS]->(m) " +
+        "RETURN n.name AS who, m.name AS knows ORDER BY who")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(res == Seq(
+      ("Alice", Some("Bob")), ("Bob", None), ("Carol", Some("Dave")), ("Dave", None)))
+  }
+
+  test("WHERE after OPTIONAL MATCH filters the optional side PRE-join (Cypher semantics)") {
+    // pre-join: Alice keeps her row with a null m (her match was filtered
+    // away), instead of being dropped as a post-join WHERE would do
+    val res = CypherLite.run(people,
+      "MATCH (n:Person) OPTIONAL MATCH (n)-[:KNOWS]->(m) WHERE m.city = 'Dresden' " +
+        "RETURN n.name AS who, m.name AS knows ORDER BY who")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(res == Seq(
+      ("Alice", None), ("Bob", None), ("Carol", Some("Dave")), ("Dave", None)))
+    // the optional WHERE sees only the optional pattern's variables
+    assertThrows[CypherLite.ParseError](CypherLite.run(people,
+      "MATCH (n:Person) WITH n.name AS who MATCH (x:Tag) " +
+        "OPTIONAL MATCH (x)-[:KNOWS]->(m) WHERE who = 'Alice' RETURN who"))
+  }
+
+  test("OPTIONAL MATCH pattern may share a non-head variable; chained optionals fold in order") {
+    // optional head scans Person, hop lands on the bound m
+    val res = CypherLite.run(people,
+      "MATCH (m:Person) WHERE m.city = 'Dresden' " +
+        "OPTIONAL MATCH (n:Person)-[:KNOWS]->(m) " +
+        "RETURN m.name AS who, n.name AS known_by ORDER BY who")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(res == Seq(("Carol", None), ("Dave", Some("Carol"))))
+    // a disconnected optional pattern is rejected
+    assertThrows[CypherLite.ParseError](CypherLite.run(people,
+      "MATCH (n:Person) OPTIONAL MATCH (x:Tag) RETURN n.name AS who"))
+  }
+
+  test("UNION ALL is a bag union of full queries (reference TabularUnionAll, BinaryOperator.scala:75-80)") {
+    val res = CypherLite.run(people,
+      "MATCH (n:Person) WHERE n.city = 'Dresden' RETURN n.name AS name " +
+        "UNION ALL MATCH (n:Person) WHERE n.age >= 30 RETURN n.name AS name")
+      .as[String].collect().toSeq.sorted
+    // Carol and Dave appear in BOTH parts — duplicates preserved
+    assert(res == Seq("Bob", "Carol", "Carol", "Dave", "Dave"))
+  }
+
+  test("UNION ALL rejections: mismatched columns, bare UNION, ORDER BY/LIMIT inside a part") {
+    def rejected(q: String): Unit =
+      assertThrows[CypherLite.ParseError](CypherLite.run(people, q))
+    rejected("MATCH (n:Person) RETURN n.name AS a UNION ALL MATCH (n:Person) RETURN n.name AS b")
+    rejected("MATCH (n:Person) RETURN n.name AS a UNION MATCH (n:Person) RETURN n.name AS a")
+    rejected("MATCH (n:Person) RETURN n.name AS a ORDER BY a UNION ALL MATCH (n:Person) RETURN n.name AS a")
+    rejected("MATCH (n:Person) RETURN n.name AS a LIMIT 1 UNION ALL MATCH (n:Person) RETURN n.name AS a")
+    // ' UNION ALL ' inside a string literal is data, not a separator
+    val one = CypherLite.run(people,
+      "MATCH (n:Person) WHERE n.name = ' UNION ALL ' RETURN n.name AS a")
+    assert(one.count() == 0)
+  }
+
   test("unsupported fragments are rejected with clear errors") {
     def rejected(q: String): Unit =
       assertThrows[CypherLite.ParseError](CypherLite.run(chain, q))
-    rejected("OPTIONAL MATCH (n) RETURN n")
+    rejected("OPTIONAL MATCH (n) RETURN n") // must follow a MATCH part
     rejected("MATCH (n)-[*1..]->(m) RETURN n") // var-length must be bounded
     rejected("MATCH (n)-->(n) RETURN n") // repeated variable in one path
     rejected("MATCH (n)-[r]->(m), (m)-[r]->(o) RETURN n") // rel var reuse across paths
