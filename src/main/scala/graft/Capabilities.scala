@@ -39,6 +39,13 @@ object Capabilities {
     // them are blacklisted: ORDER BY/SKIP/LIMIT-in-WITH, nested maps, null
     // projection — those stay out here too)
     "cypher_with",
+    // round 5: the last two string-entry gaps vs the reference planner's
+    // operator set — OPTIONAL MATCH (pre-join WHERE, left-outer-joined on
+    // shared node ids; reference LeftOuterJoin, BinaryOperator.scala:58-60)
+    // and UNION ALL between full queries (reference TabularUnionAll,
+    // BinaryOperator.scala:75-80)
+    "cypher_optional_match",
+    "cypher_union_all",
     // round 5, BEYOND the reference (its planner SPI stubs *1..n as
     // unimplemented, MemOperatorProducer.scala:124-142): bounded
     // variable-length expand with Cypher path semantics (one row per path,
@@ -92,6 +99,8 @@ object Capabilities {
     "dedup_embedding_lsh",
     "similarity_brute_topk",
     "similarity_ann_lsh",
+    // round 5: IVF inverted-file ANN (k-means coarse cells, nProbe probing)
+    "similarity_ann_ivf",
     "text_langid",
     "text_quality",
     "text_tokens",

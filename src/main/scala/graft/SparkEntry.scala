@@ -535,6 +535,13 @@ object SparkEntry {
       SimilaritySearch.lshTopK(emb, emb.where(col("vec_id") < 5), "embedding", "vec_id", 3)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    // IVF (inverted-file) ANN: coarse k-means cells, nProbe nearest probed —
+    // the data-adaptive scale path beside LSH; recall gated in OpsSpec
+    "sim_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.ivfTopK(emb, emb.where(col("vec_id") < 5), "embedding", "vec_id", 3)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
 
     // ---- text analysis ----
     "ta_langid" -> ((s, dir) => TextAnalysis.languageId(t(s, dir, "documents"), "text", "doc_id")),

@@ -151,9 +151,13 @@ object SimilaritySearch {
     * result is deterministic given the trained centroids (float means are
     * order-sensitive at the ulp level — same caveat as every distributed
     * k-means; the recall gate, not a hash oracle, is the correctness check).
+    * The defaults (√n cells, 8 probes, 4 Lloyd rounds) measure 0.80 top-3
+    * recall on the near-uniform synthetic test corpus — the HARD case for
+    * coarse quantization (real embedding corpora cluster, which is what IVF
+    * exploits); the asserted OpsSpec gate is ≥ 0.6.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
-      k: Int, nCells: Int = 0, nProbe: Int = 4, lloydIters: Int = 2,
+      k: Int, nCells: Int = 0, nProbe: Int = 8, lloydIters: Int = 4,
       trainCap: Long = 65536L, seed: Long = 42L): DataFrame = {
     val c0 = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
     val n = c0.count()

@@ -22,7 +22,8 @@ class CapabilitySpec extends AnyFunSuite {
     val pinned = Set(
       "start_unit_table", "driving_table", "cypher_match_subset",
       "cypher_rel_binding", "cypher_return_aggregates", "cypher_multi_pattern",
-      "cypher_with", "var_length_expand", "shortest_path",
+      "cypher_with", "cypher_optional_match", "cypher_union_all",
+      "var_length_expand", "shortest_path",
       "node_scan_label_pruned", "rel_scan_type_pruned",
       "alias", "project", "select_fields", "drop", "remove_aliases",
       "filter_three_valued", "distinct", "aggregate", "order_by", "limit",
@@ -33,7 +34,7 @@ class CapabilitySpec extends AnyFunSuite {
       "graph_materialize", "snapshot_resume", "edge_list_tsv_source",
       "parquet_snapshot_sink", "dedup_exact", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_lsh",
-      "similarity_brute_topk", "similarity_ann_lsh", "text_langid",
+      "similarity_brute_topk", "similarity_ann_lsh", "similarity_ann_ivf", "text_langid",
       "text_quality", "text_tokens", "text_fingerprint", "multimodal_meta",
       "multimodal_decode_png", "streaming_sessionize", "streaming_windowed_agg")
     assert(Capabilities.supported == pinned,

