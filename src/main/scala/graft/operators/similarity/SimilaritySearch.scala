@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   *    scale path: candidate volume ∝ corpus × nProbe / cells per query.
   */
 object SimilaritySearch {
-  import graft.functions.VectorOps.{asDouble, cosine, dot => dotD}
+  import graft.functions.VectorOps.{asDouble, cosine}
 
   /** Signature width for a corpus of `n` vectors targeting ~`targetBucket`
     * vectors per bucket: r = ceil(log2(n / targetBucket)), floored at the
@@ -164,9 +164,11 @@ object SimilaritySearch {
     val cells = if (nCells > 0) nCells else autoCells(n)
 
     val h = xxhash64(lit(seed), col("neighbor_id"))
-    val train =
+    // the training sample is re-scanned once per Lloyd round — persist it
+    // (≤ trainCap rows; TempCaches so sweep drivers release it post-query)
+    val train = graft.util.TempCaches.track(
       if (n <= trainCap) c0
-      else c0.where(pmod(h, lit(math.max(1L, n / trainCap))) === 0)
+      else c0.where(pmod(h, lit(math.max(1L, n / trainCap))) === 0))
 
     // nearest-centroid cell per vector: broadcast the centroid table, score
     // map-side, argmax via max(struct) partial aggregation (ties → lowest
@@ -184,12 +186,18 @@ object SimilaritySearch {
     var centroids = train.withColumn("h", h).orderBy("h").limit(cells)
       .select((row_number().over(initW) - 1).as("cell"), col("cv").as("cvec"))
     for (_ <- 0 until lloydIters) {
-      centroids = assign(train, centroids)
+      val updated = assign(train, centroids)
         .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg("x").as("x"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
           s => s.getField("x")).as("cvec"))
+      // materialize each round's centroids (≤ cells tiny rows): the lazy
+      // chain would otherwise replay EVERY earlier round at each downstream
+      // use (each broadcast of `centroids` re-evaluates its whole lineage)
+      val p = graft.util.TempCaches.track(updated)
+      p.count()
+      centroids = p
     }
 
     val indexed = assign(c0, centroids)
