@@ -519,7 +519,10 @@ object SparkEntry {
       Dedup.simhashCandidates(t(s, dir, "documents"), "text", "doc_id", maxHamming = 6)),
     // banded hyperplane-LSH self-join over the FULL embeddings table (no id
     // cap): candidates from shared (table, signature) buckets, exact-cosine
-    // verified; recall vs brute is gated in OpsSpec
+    // verified. Fully oracle-gated: the planes are deterministic hash
+    // stream values DuckDB reproduces bit-exactly (see hyperplaneSigSql),
+    // so the oracle checks the banded pair list itself; recall vs brute is
+    // additionally gated in OpsSpec.
     "dd_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"),
         "embedding", "vec_id", threshold = 0.35)),
@@ -530,13 +533,18 @@ object SparkEntry {
       SimilaritySearch.bruteTopK(emb, emb.where(col("vec_id") < 5), "embedding", "vec_id", 3)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    // fully oracle-gated like dd_embed_neardup: deterministic planes ⇒
+    // DuckDB reproduces signatures, multi-probe buckets and the cosine
+    // ranking exactly (recall vs brute additionally gated in OpsSpec)
     "sim_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.lshTopK(emb, emb.where(col("vec_id") < 5), "embedding", "vec_id", 3)
         .withColumn("rank", col("rank").cast("long"))
     }),
     // IVF (inverted-file) ANN: coarse k-means cells, nProbe nearest probed —
-    // the data-adaptive scale path beside LSH; recall gated in OpsSpec
+    // the data-adaptive scale path beside LSH. Fully oracle-gated: the
+    // k-means training is bit-deterministic (sorted Lloyd folds + avalanche
+    // seeding), so DuckDB replays it exactly; recall also gated in OpsSpec
     "sim_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.ivfTopK(emb, emb.where(col("vec_id") < 5), "embedding", "vec_id", 3)
@@ -613,6 +621,139 @@ object SparkEntry {
       "((sa >> 16) & 65535) = ((sb >> 16) & 65535) OR " +
       "((sa >> 32) & 65535) = ((sb >> 32) & 65535) OR " +
       "((sa >> 48) & 65535) = ((sb >> 48) & 65535))"
+
+  /** Sequential in-order double fold `Σ f(k)` over list positions 1..n in
+    * DuckDB — `list_reduce` is a left fold, so the additions associate
+    * exactly like the engine's `while` loops / `aggregate(zip_with(...))`
+    * (IEEE ops are deterministic: same order ⇒ bit-identical sums).
+    */
+  private def foldSql(n: String, term: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, $n + 1), k -> $term)), (a, b) -> a + b)"
+
+  /** Shared CTE chain reproducing [[graft.functions.HyperplaneSig]] in
+    * DuckDB, byte- and bit-exactly: plane component (r, i) of table `tb` is
+    * `unitMixed(seed + tb, "plane", r, i) * 2 - 1` (Hashing.unitMixed =
+    * splitmix64-avalanched FNV-1a over the ''-joined key string,
+    * top-53-bits-to-unit-double) — all integer steps run in HUGEINT mod
+    * 2^64; the two 64×64-bit avalanche multiplies are split lo/hi-32 to
+    * stay inside INT128 (a·b mod 2^64 = (a_lo·b + ((a_hi·b_lo) mod 2^32)·2^32)
+    * mod 2^64). Plane widths follow
+    * [[graft.operators.similarity.SimilaritySearch.autoPlanes]] from the
+    * corpus count (`floor`, target bucket 64, cap 24); signatures set bit r
+    * iff the in-order dot ⟨v, plane_r⟩ ≥ 0, exactly like the codegen
+    * expression. Yields CTEs: emb(id, v), par(r), sigs(id, tb, sig).
+    */
+  private def hyperplaneSigSql(numTables: Int, floor: Int, seed: Long): String =
+    "emb AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"par AS (SELECT CAST(least(24, greatest($floor, " +
+      "CASE WHEN ((count(*) + 63) // 64) <= 1 THEN 0 " +
+      "ELSE 1 + CAST(floor(log2((((count(*) + 63) // 64) - 1)::DOUBLE)) AS INT) END)) AS INT) AS r FROM emb), " +
+      s"grid AS (SELECT tb, pr, i, ($seed + tb)::VARCHAR || chr(1) || 'plane' || chr(1) || " +
+      "pr::VARCHAR || chr(1) || i::VARCHAR AS key " +
+      s"FROM range($numTables) t(tb), range(24) p(pr), range(64) d(i), par WHERE pr < par.r), " +
+      "fnv AS (SELECT tb, pr, i, list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+      "list_transform(list_filter(string_split(key, ''), c -> c <> ''), c -> ord(c)::HUGEINT)), " +
+      "(a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h FROM grid), " +
+      "av AS (SELECT tb, pr, i, xor(z2, z2 >> 31) AS z FROM (" +
+      "SELECT tb, pr, i, ((x2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT " +
+      "+ (((x2 >> 32) * 321982955::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT" +
+      ") % 18446744073709551616::HUGEINT AS z2 FROM (" +
+      "SELECT tb, pr, i, xor(z1, z1 >> 27) AS x2 FROM (" +
+      "SELECT tb, pr, i, ((x1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT " +
+      "+ (((x1 >> 32) * 484763065::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT" +
+      ") % 18446744073709551616::HUGEINT AS z1 FROM (" +
+      "SELECT tb, pr, i, xor(h, h >> 30) AS x1 FROM fnv))))), " +
+      "planes AS (SELECT tb, pr, " +
+      "list(((z >> 11)::DOUBLE / 9007199254740992.0) * 2.0 - 1.0 ORDER BY i) AS p FROM av GROUP BY tb, pr), " +
+      "dots AS (SELECT e.id, pl.tb, pl.pr, " +
+      foldSql("least(len(e.v), 64)", "e.v[k] * pl.p[k]") + " AS dot FROM emb e, planes pl), " +
+      "sigs AS (SELECT id, tb, " +
+      "SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << pr) ELSE 0::BIGINT END) AS sig FROM dots GROUP BY id, tb)"
+
+  /** In-order cosine over CTE columns `ea.v` / `eb.v` — op-for-op the
+    * engine's [[graft.functions.CosineSim]] (three independent sequential
+    * sums, then dot / (√n2a · √n2b); sqrt is IEEE correctly-rounded in both
+    * engines, so the quotient is bit-identical).
+    */
+  private def cosineSql: String = {
+    val n = "least(len(ea.v), len(eb.v))"
+    s"${foldSql(n, "ea.v[k] * eb.v[k]")} AS dot, " +
+      s"${foldSql(n, "ea.v[k] * ea.v[k]")} AS n2a, " +
+      s"${foldSql(n, "eb.v[k] * eb.v[k]")} AS n2b"
+  }
+
+  /** In-order cosine of two list expressions as a single scalar (for reuse
+    * inside ORDER BY / SELECT positions where the three-sum split of
+    * [[cosineSql]] doesn't fit).
+    */
+  private def cosExprSql(va: String, vb: String): String = {
+    val n = s"least(len($va), len($vb))"
+    s"${foldSql(n, s"$va[k] * $vb[k]")} / " +
+      s"(sqrt(${foldSql(n, s"$va[k] * $va[k]")}) * sqrt(${foldSql(n, s"$vb[k] * $vb[k]")}))"
+  }
+
+  /** splitmix64-avalanche of `(expr + seed)` mapped to the signed BIGINT
+    * domain — the DuckDB mirror of [[graft.functions.Avalanche64]] over the
+    * IVF seeding hash (HUGEINT mod-2^64, split-multiply like
+    * [[hyperplaneSigSql]]).
+    */
+  private def avalancheSql(expr: String, seed: Long): String =
+    "(SELECT CASE WHEN z >= 9223372036854775808::HUGEINT " +
+      "THEN (z - 18446744073709551616::HUGEINT)::BIGINT ELSE z::BIGINT END FROM (" +
+      "SELECT xor(z2, z2 >> 31) AS z FROM (" +
+      "SELECT ((x2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT " +
+      "+ (((x2 >> 32) * 321982955::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT" +
+      ") % 18446744073709551616::HUGEINT AS z2 FROM (" +
+      "SELECT xor(z1, z1 >> 27) AS x2 FROM (" +
+      "SELECT ((x1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT " +
+      "+ (((x1 >> 32) * 484763065::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT" +
+      ") % 18446744073709551616::HUGEINT AS z1 FROM (" +
+      s"SELECT xor(h0, h0 >> 30) AS x1 FROM (SELECT ((($expr + $seed)::HUGEINT " +
+      "% 18446744073709551616::HUGEINT + 18446744073709551616::HUGEINT) " +
+      "% 18446744073709551616::HUGEINT) AS h0)))))))"
+
+  /** DuckDB replay of [[graft.operators.similarity.SimilaritySearch.ivfTopK]]
+    * with the gate defaults (√n cells, nProbe 8, 4 Lloyd rounds, seed 42,
+    * k 3, queries id < 5), valid for n ≤ trainCap (train = full corpus — the
+    * gate corpora; the hash-sample branch is not replayed). Reproducible
+    * because the engine's k-means is bit-deterministic: seeding orders by
+    * (avalanche(id+seed), id), assignment ties break on the lower cell, and
+    * Lloyd means fold sorted values — each step here is the same float op
+    * sequence.
+    */
+  private def ivfOracleSql(lloydIters: Int): String = {
+    def assignSql(cents: String): String =
+      "SELECT id, v, cell FROM (SELECT t.id, t.v, c.cell, " +
+        s"row_number() OVER (PARTITION BY t.id ORDER BY ${cosExprSql("t.v", "c.cvec")} DESC, c.cell ASC) AS rn " +
+        s"FROM emb t, $cents c) WHERE rn = 1"
+    def updateSql(assigned: String): String =
+      "SELECT cell, list(x ORDER BY pos) AS cvec FROM (" +
+        "SELECT cell, i AS pos, " +
+        "list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(x))), (a, b) -> a + b) / count(x) AS x " +
+        s"FROM (SELECT cell, i, v[i] AS x FROM $assigned, " +
+        "UNNEST(generate_series(1, len(v))) AS t(i)) GROUP BY cell, i) GROUP BY cell"
+    val rounds = (1 to lloydIters).flatMap { r =>
+      val prev = if (r == 1) "cent0" else s"cent${r - 1}"
+      Seq(s"a$r AS (${assignSql(prev)})", s"cent$r AS (${updateSql(s"a$r")})")
+    }.mkString(", ")
+    val last = s"cent$lloydIters"
+    "WITH emb AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      "par AS (SELECT CAST(least(4096, greatest(4, ceil(sqrt(count(*)::DOUBLE)))) AS INT) AS cells FROM emb), " +
+      s"hs AS (SELECT id, v, ${avalancheSql("id", 42L)} AS h FROM emb), " +
+      "cent0 AS (SELECT row_number() OVER (ORDER BY h, id) - 1 AS cell, v AS cvec " +
+      "FROM (SELECT id, v, h FROM hs ORDER BY h, id LIMIT (SELECT cells FROM par))), " +
+      s"$rounds, " +
+      s"idx AS (${assignSql(last)}), " +
+      "probes AS (SELECT query_id, qv, cell FROM (" +
+      "SELECT q.id AS query_id, q.v AS qv, c.cell, " +
+      s"row_number() OVER (PARTITION BY q.id ORDER BY ${cosExprSql("q.v", "c.cvec")} DESC, c.cell ASC) AS crank " +
+      s"FROM (SELECT id, v FROM emb WHERE id < 5) q, $last c) WHERE crank <= 8), " +
+      s"scored AS (SELECT p.query_id, x.id AS neighbor_id, ${cosExprSql("p.qv", "x.v")} AS cos " +
+      "FROM probes p JOIN idx x ON x.cell = p.cell WHERE x.id <> p.query_id) " +
+      "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, " +
+      "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank " +
+      "FROM scored) WHERE rank <= 3"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "kg_transcripts" ->
@@ -876,6 +1017,21 @@ object SparkEntry {
     // condition + Hamming cutoff the Spark operator applies
     "dd_simhash" -> simhashOracleSql("WHERE doc_id < 300"),
     "dd_simhash_full" -> simhashOracleSql(""),
+    // banded hyperplane-LSH embedding near-dup, reproduced EXACTLY: the
+    // deterministic planes come from the avalanche-finalized hash stream
+    // (bit-exact HUGEINT arithmetic), signatures/banding/cosine-verify run
+    // the same float ops in the same order — so the oracle checks the full
+    // LSH pair list (including its deliberate recall<1 band misses), not
+    // just a pair invariant. 16 tables, auto plane width (floor 4), seed 42.
+    "dd_embed_neardup" ->
+      (s"WITH ${hyperplaneSigSql(numTables = 16, floor = 4, seed = 42L)}, " +
+        "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b " +
+        "FROM sigs a JOIN sigs b ON a.tb = b.tb AND a.sig = b.sig AND a.id < b.id), " +
+        "scored AS (SELECT id_a, id_b, dot / (sqrt(n2a) * sqrt(n2b)) AS cos FROM (" +
+        s"SELECT c.id_a, c.id_b, $cosineSql FROM cand c " +
+        "JOIN emb ea ON ea.id = c.id_a JOIN emb eb ON eb.id = c.id_b)) " +
+        "SELECT id_a, id_b, CAST(round(cos * 1000) AS BIGINT) AS cos_pm " +
+        "FROM scored WHERE cos >= 0.35"),
     // rolling polynomial fingerprint (base 257 mod 2^61-1) folded over the
     // normalized character stream — result < 2^61 always fits BIGINT
     "ta_fingerprint" ->
@@ -884,6 +1040,30 @@ object SparkEntry {
         "list_transform(list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ''), " +
         "c -> c <> ''), c -> ord(c)::HUGEINT)), " +
         "(a, b) -> (a * 257 + b) % 2305843009213693951::HUGEINT) AS f FROM documents)"),
+
+    // multi-table hyperplane-LSH ANN with Hamming≤1 multi-probe, reproduced
+    // exactly like dd_embed_neardup (8 tables, plane-width floor 6): the
+    // probe set per (query, table) is the query's own signature plus every
+    // single-bit flip; candidates are exact-cosine ranked with the engine's
+    // (cos DESC, neighbor_id ASC) tie-break.
+    "sim_ann_lsh" ->
+      (s"WITH ${hyperplaneSigSql(numTables = 8, floor = 6, seed = 42L)}, " +
+        "probes AS (SELECT s.id AS query_id, s.tb, " +
+        "CASE WHEN f = 0 THEN s.sig ELSE xor(s.sig, (1::BIGINT << (f - 1))) END AS bucket " +
+        "FROM sigs s, range(25) ff(f), par WHERE s.id < 5 AND f <= par.r), " +
+        "cand AS (SELECT DISTINCT p.query_id, s.id AS neighbor_id " +
+        "FROM probes p JOIN sigs s ON s.tb = p.tb AND s.sig = p.bucket WHERE s.id <> p.query_id), " +
+        "scored AS (SELECT query_id, neighbor_id, dot / (sqrt(n2a) * sqrt(n2b)) AS cos FROM (" +
+        s"SELECT c.query_id, c.neighbor_id, $cosineSql FROM cand c " +
+        "JOIN emb ea ON ea.id = c.query_id JOIN emb eb ON eb.id = c.neighbor_id)) " +
+        "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank " +
+        "FROM scored) WHERE rank <= 3"),
+
+    // IVF ANN replayed end-to-end (seeding, 4 Lloyd rounds, probe, rank):
+    // possible because the engine's k-means is bit-deterministic (sorted
+    // Lloyd folds, avalanche seeding, total tie orders) — see ivfOracleSql
+    "sim_ann_ivf" -> ivfOracleSql(lloydIters = 4),
 
     "sim_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5), " +

@@ -31,6 +31,27 @@ case class Fnv64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_fnv64"
 }
 
+/** splitmix64 finalizer ([[graft.util.Hashing.avalanche]]) as a native
+  * codegen expression — full-avalanche mixing of a LongType column. Used
+  * where a value-derived draw must be statistically independent across
+  * adjacent keys AND reproducible outside the JVM (the IVF seeding hash:
+  * plain column arithmetic would trip ANSI overflow checks, xxhash64 has no
+  * DuckDB counterpart; this is three shift-xor-multiply steps the oracle
+  * reruns in HUGEINT mod-2^64).
+  */
+case class Avalanche64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires BIGINT, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = Hashing.avalanche(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.util.Hashing.avalanche($c)")
+  override protected def withNewChildInternal(newChild: Expression): Avalanche64 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_avalanche64"
+}
+
 /** Polynomial rolling-hash document fingerprint (base 257, mod 2^61-1) over
   * the normalized character stream — order-sensitive, whitespace-collapsed.
   * Used by the text-analysis ops for exact-dup detection keyed on content
@@ -386,6 +407,8 @@ object GraftFunctions {
       es => MinhashSig(es.head, litInt(es, 1, "graft_minhash_sig")), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine",
       es => CosineSim(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_avalanche64",
+      es => Avalanche64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_bounded_min_set", es => {
       val e = es(1)
       if (!e.foldable) throw new IllegalArgumentException(
@@ -412,6 +435,8 @@ object GraftFunctions {
   }
   private def ensure(): Unit = SparkSession.getActiveSession.foreach(register)
   def fnv64(c: Column): Column = { ensure(); call_function("graft_fnv64", c) }
+  /** splitmix64 finalizer of a BIGINT column ([[Avalanche64]]). */
+  def avalanche64(c: Column): Column = { ensure(); call_function("graft_avalanche64", c) }
   def fingerprint(c: Column): Column = { ensure(); call_function("graft_fingerprint", c) }
   def simhash64(c: Column): Column = { ensure(); call_function("graft_simhash", c) }
   /** Distinct token n-gram shingles, first-occurrence order ([[TokenShingles]]). */

@@ -147,11 +147,14 @@ object SimilaritySearch {
     *    against the index — candidates ∝ corpus × nProbe / cells, i.e.
     *    linear in corpus for the √n auto rule with fixed occupancy.
     *
-    * Ties in both argmaxes break on the lower cell id / neighbor id, so the
-    * result is deterministic given the trained centroids (float means are
-    * order-sensitive at the ulp level — same caveat as every distributed
-    * k-means; the recall gate, not a hash oracle, is the correctness check).
-    * The defaults (√n cells, 8 probes, 4 Lloyd rounds) measure 0.80 top-3
+    * Ties in both argmaxes break on the lower cell id / neighbor id, and the
+    * Lloyd means fold each (cell, dim) group's values in SORTED order — so
+    * unlike textbook distributed k-means (whose float means are
+    * partition-order-sensitive at the ulp level), the trained centroids and
+    * the full result are bit-deterministic under any partitioning, retry or
+    * resume, and the DuckDB oracle replays training exactly (hash-gated,
+    * not rows-only). The defaults (√n cells, 8 probes, 4 Lloyd rounds)
+    * measure 0.80 top-3
     * recall on the near-uniform synthetic test corpus — the HARD case for
     * coarse quantization (real embedding corpora cluster, which is what IVF
     * exploits); the asserted OpsSpec gate is ≥ 0.6.
@@ -163,7 +166,11 @@ object SimilaritySearch {
     val n = c0.count()
     val cells = if (nCells > 0) nCells else autoCells(n)
 
-    val h = xxhash64(lit(seed), col("neighbor_id"))
+    // seeding/sampling hash: splitmix64 finalizer of (id + seed) — full
+    // avalanche like xxhash64, but reproducible outside the JVM (the DuckDB
+    // oracle reruns it in HUGEINT mod-2^64), which is what lets the IVF
+    // result be hash-gated instead of rows-only
+    val h = graft.functions.GraftFunctions.avalanche64(col("neighbor_id") + lit(seed))
     // the training sample is re-scanned once per Lloyd round — persist it
     // (≤ trainCap rows; TempCaches so sweep drivers release it post-query)
     val train = graft.util.TempCaches.track(
@@ -182,13 +189,27 @@ object SimilaritySearch {
           first("cv").as("cv"))
         .select(col("neighbor_id"), (-col("b.nc")).cast("int").as("cell"), col("cv"))
 
-    val initW = Window.orderBy("h") // `cells` rows — single partition is the point
-    var centroids = train.withColumn("h", h).orderBy("h").limit(cells)
+    // tie-break on id so seeding is total-ordered (h collisions can't let
+    // partitioning pick the seed set); `cells` rows — single partition is
+    // the point
+    val initW = Window.orderBy("h", "neighbor_id")
+    var centroids = train.withColumn("h", h).orderBy("h", "neighbor_id").limit(cells)
       .select((row_number().over(initW) - 1).as("cell"), col("cv").as("cvec"))
     for (_ <- 0 until lloydIters) {
+      // per-(cell, dim) mean as a SORTED sequential fold, not avg(): float
+      // addition is order-sensitive, so a partition-order-dependent avg
+      // would make the trained centroids — and thus the whole result —
+      // nondeterministic across retries/partitionings, and irreproducible
+      // by the oracle. The sorted fold is total-ordered (ties are equal
+      // values, which commute exactly) at the cost of buffering one cell's
+      // members per (cell, pos) group — bounded by train occupancy
+      // (≤ trainCap / cells values per list).
       val updated = assign(train, centroids)
         .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg("x").as("x"))
+        .groupBy("cell", "pos")
+        .agg(sort_array(collect_list(col("x"))).as("xs"))
+        .select(col("cell"), col("pos"),
+          (aggregate(col("xs"), lit(0.0), (a, x) => a + x) / size(col("xs"))).as("x"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
           s => s.getField("x")).as("cvec"))

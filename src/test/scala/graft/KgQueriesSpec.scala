@@ -19,17 +19,14 @@ class KgQueriesSpec extends SparkTestBase {
     assert(empty.isEmpty, s"empty results: $empty")
   }
 
-  test("every query key has an oracle or is a documented rows-only check") {
-    val rowsOnly = Set("dd_minhash_lsh", "dd_simhash", "dd_embed_neardup",
-      "sim_ann_lsh", "ta_fingerprint", // mm_decode gained a real oracle in round 2
-      // round 3: uncapped full-table dedup sweeps — the O(n²) DuckDB shingle
-      // oracle can't follow; the capped entries above stay hash-gated
-      "dd_minhash_full", "dd_simhash_full",
-      // round 5: IVF ANN — trained centroids are float-mean artifacts DuckDB
-      // can't reproduce; recall vs bruteTopK is the OpsSpec gate
-      "sim_ann_ivf")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
-    assert(missing.isEmpty, s"queries without oracle or rows-only waiver: $missing")
+  test("every query key has an oracle — no rows-only waivers left") {
+    // The waiver set emptied over rounds 3-5: the hash-based dedup sweeps
+    // gained exact HUGEINT replays, the hyperplane-LSH pair (dd_embed_neardup,
+    // sim_ann_lsh) gained the bit-exact plane-stream replay, and sim_ann_ivf
+    // became replayable once its k-means was determinized (sorted Lloyd
+    // folds + avalanche seeding). Any new query must ship with an oracle.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }

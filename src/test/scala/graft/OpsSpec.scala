@@ -155,6 +155,24 @@ class OpsSpec extends SparkTestBase {
     assert(cells >= 4 && cells <= 4096)
   }
 
+  test("IVF ANN is bit-deterministic under repartitioning (sorted Lloyd folds)") {
+    // textbook distributed k-means drifts at the ulp level with partition
+    // order (float means); ours must not — seeding orders by (avalanche, id)
+    // and Lloyd means fold sorted values, so ANY partitioning of the same
+    // corpus trains the same centroids and returns the same ranked rows.
+    // This is also what makes the DuckDB oracle replay possible.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 10)
+    def run(c: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int)] =
+      SimilaritySearch.ivfTopK(c, queries, "embedding", "vec_id", 3)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+    val a = run(emb.repartition(7))
+    val b = run(emb.repartition(3, col("label")))
+    assert(a == b, "IVF result changed under repartitioning")
+    assert(a.nonEmpty)
+  }
+
   test("embedding near-dup LSH recall >= 0.85 vs brute all-pairs on sf0.01 embeddings (no id cap)") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val brute = Dedup.bruteEmbeddingNearDup(emb, "embedding", "vec_id", 0.35)
