@@ -85,27 +85,37 @@ object TableIO {
       throw new java.io.IOException(s"rename $tmp -> $target failed")
   }
 
+  /** A snapshot is committed iff its data dir carries Spark's _SUCCESS
+    * marker AND its manifest exists (the manifest write is the commit
+    * point; _SUCCESS guards against a dir Spark was still filling).
+    */
+  private def committed(tableDir: String, id: Long): Boolean = {
+    val fs = fsOf(dataDir(tableDir, id))
+    fs.exists(new Path(dataDir(tableDir, id), "_SUCCESS")) &&
+      fs.exists(new Path(metaDir(tableDir), s"v$id.json"))
+  }
+
+  /** All committed snapshot ids, ascending — the time-travel surface
+    * (snapshots are never rewritten; [[write]] always creates the next id).
+    */
+  def snapshotIds(tableDir: String): Seq[Long] = {
+    val md = metaDir(tableDir)
+    val fs = fsOf(md)
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq
+      .flatMap(s => "^v(\\d+)\\.json$".r.findFirstMatchIn(s.getPath.getName)
+        .map(_.group(1).toLong))
+      .filter(committed(tableDir, _))
+      .sorted
+  }
+
   /** CURRENT pointer if valid; else recover by scanning manifests for the
     * highest snapshot whose data dir is fully committed (_SUCCESS present).
     */
   def currentId(tableDir: String): Option[Long] = {
     val pointed = readString(new Path(metaDir(tableDir), "CURRENT"))
       .flatMap(s => s.trim.toLongOption)
-    def committed(id: Long): Boolean = {
-      val fs = fsOf(dataDir(tableDir, id))
-      fs.exists(new Path(dataDir(tableDir, id), "_SUCCESS")) &&
-        fs.exists(new Path(metaDir(tableDir), s"v$id.json"))
-    }
-    pointed.filter(committed).orElse {
-      val md = metaDir(tableDir)
-      val fs = fsOf(md)
-      if (!fs.exists(md)) None
-      else fs.listStatus(md).toSeq
-        .flatMap(s => "^v(\\d+)\\.json$".r.findFirstMatchIn(s.getPath.getName)
-          .map(_.group(1).toLong))
-        .filter(committed)
-        .maxOption
-    }
+    pointed.filter(committed(tableDir, _)).orElse(snapshotIds(tableDir).lastOption)
   }
 
   /** A table is complete iff a snapshot resolves whose data dir has Spark's
@@ -125,6 +135,19 @@ object TableIO {
     val id = currentId(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $tableDir"))
     spark.read.parquet(dataDir(tableDir, id).toString)
+  }
+
+  /** Time-travel read of a specific committed snapshot (Iceberg
+    * `VERSION AS OF` semantics): snapshot data dirs are immutable once
+    * committed — [[write]] never rewrites an id — so any historical
+    * pipeline state stays queryable until a retention sweep deletes it.
+    */
+  def readAt(spark: SparkSession, tableDir: String, snapshotId: Long): DataFrame = {
+    if (!committed(tableDir, snapshotId))
+      throw new IllegalStateException(
+        s"snapshot $snapshotId of $tableDir is not committed " +
+          s"(have: ${snapshotIds(tableDir).mkString(",")})")
+    spark.read.parquet(dataDir(tableDir, snapshotId).toString)
   }
 
   /** Write df as the next snapshot of the table. Per-file lineage rows (path,

@@ -88,6 +88,21 @@ class PipelineSpec extends SparkTestBase {
     rm(dir)
   }
 
+  test("time travel: snapshots are immutable, readAt serves any committed version") {
+    val dir = tmpDir("graft-timetravel")
+    val table = s"$dir/tt"
+    TableIO.write(Seq(1L, 2L, 3L).toDF("x"), table, stage = "tt")
+    TableIO.write(Seq(10L, 20L).toDF("x"), table, stage = "tt")
+    assert(TableIO.snapshotIds(table) == Seq(0L, 1L))
+    assert(TableIO.currentId(table).contains(1L))
+    // VERSION AS OF semantics: the superseded snapshot stays queryable
+    assert(TableIO.readAt(spark, table, 0L).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(TableIO.read(spark, table).as[Long].collect().sorted.toSeq == Seq(10L, 20L))
+    assert(TableIO.readAt(spark, table, 1L).as[Long].collect().sorted.toSeq == Seq(10L, 20L))
+    intercept[IllegalStateException](TableIO.readAt(spark, table, 99L))
+    rm(dir)
+  }
+
   test("lost CURRENT pointer recovers from manifests (crash between manifest write and pointer swap)") {
     val dir = tmpDir("graft-current")
     Pipeline.run(spark, cfg(dir, nConv = 4))
