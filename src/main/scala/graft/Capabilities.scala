@@ -88,6 +88,9 @@ object Capabilities {
     "canonicalization",
     "graph_materialize",
     "snapshot_resume",
+    // round 5: Iceberg VERSION-AS-OF reads — committed snapshots are
+    // immutable, TableIO.readAt/snapshotIds serve any historical version
+    "snapshot_time_travel",
     // sources/sinks
     "edge_list_tsv_source",
     "parquet_snapshot_sink",

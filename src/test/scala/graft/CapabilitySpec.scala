@@ -31,7 +31,8 @@ class CapabilitySpec extends AnyFunSuite {
       "cartesian_product", "union_all", "expand", "expand_into", "optional_match",
       "triple_extraction", "mention_detection", "entity_linking_dict",
       "entity_linking_lsh", "connected_components", "canonicalization",
-      "graph_materialize", "snapshot_resume", "edge_list_tsv_source",
+      "graph_materialize", "snapshot_resume", "snapshot_time_travel",
+      "edge_list_tsv_source",
       "parquet_snapshot_sink", "dedup_exact", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_lsh",
       "similarity_brute_topk", "similarity_ann_lsh", "similarity_ann_ivf", "text_langid",
