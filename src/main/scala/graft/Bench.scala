@@ -129,9 +129,15 @@ object Bench {
 
   private final case class Trial(cores: Int, turns: Long, sec: Double,
       load: Double, extBusy: Double, achievedCores: Double,
-      stages: Seq[(String, Double)], kind: String = "pipeline") {
+      stages: Seq[(String, Double)], kind: String = "pipeline",
+      wallSec: Double = -1.0, forked: Boolean = false) {
     def tput: Double = turns / sec
     def cpuPerTurn: Double = achievedCores * sec / turns
+    /** Full cost the trial charged against the budget: for forked trials the
+      * parent-observed child wall (startup + in-child warmup + measured
+      * run); for in-process trials the measured sec itself.
+      */
+    def budgetSec: Double = if (wallSec > 0) wallSec else sec
     /** Hard disqualifier: the JVM cannot legitimately achieve more cores than
       * it requested — overshoot means the process-CPU accounting was polluted
       * by GC/JIT threads thrashing under external contention (observed:
@@ -180,13 +186,114 @@ object Bench {
   private def dropCorpus(nConv: Long): Unit =
     corpusCache.remove(nConv).foreach(rmrf)
 
+  // ---- forked trial protocol (round-5 close-out) -------------------------
+  // Each measured trial runs in its OWN JVM, pinned with `taskset -c 0..N-1`
+  // and sized with `-XX:ActiveProcessorCount=N`, so the process is a true
+  // N-core proxy (GC/JIT/netty pools scale with N — a containerized
+  // executor's world) instead of a local[N] session inside a 32-CPU JVM
+  // whose service threads leak extra parallelism into the low-core config.
+  // Isolation also removes the cross-trial JIT-warmth and heap-debt
+  // confounds the in-process protocol medicated with warmup ladders and
+  // clean rules. Disable with GRAFT_BENCH_FORK=0; any fork failure falls
+  // back to the in-process trial automatically (the driver's run must never
+  // lose its artifact to a missing taskset).
+  private val forkMode: Boolean = sys.env.getOrElse("GRAFT_BENCH_FORK", "1") != "0"
+
+  /** A forked child hit the budget-derived wait ceiling and was killed. This
+    * is NOT a fork-infrastructure failure: the trial was killed precisely
+    * because the budget window is exhausted, so falling back to a full
+    * in-process trial would double the overrun (the round-5 smoke run
+    * measured a 330 s budget blowing out to 747 s that way — the r4 rc-124
+    * shape). Callers catch it and truncate the run honestly instead.
+    */
+  private final class TrialTimeout(val trialKind: String, val trialCores: Int)
+    extends RuntimeException(s"forked $trialKind@$trialCores hit the budget wait ceiling")
+
+  /** In-child JIT warmup size: enough full pipeline passes worth of codegen
+    * to reach steady state without burning real budget.
+    */
+  private def warmConvFor(nConv: Long): Long = math.min(nConv / 4, 30000L).max(2000L)
+
+  private def forkTrial(kind: String, cores: Int, nConv: Long,
+      maxWaitSec: Double): Option[Trial] = {
+    val input = corpus(nConv)
+    val load = loadavg1()
+    val extBusy = cpuBusyFrac()
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val opens = Seq("java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io", "java.base/java.net",
+      "java.base/java.nio", "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic", "java.base/sun.nio.ch",
+      "java.base/sun.nio.cs", "java.base/sun.security.action",
+      "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val warm = if (kind == "pipeline") warmConvFor(nConv) else 0L
+    val cmd: Seq[String] =
+      Seq("taskset", "-c", s"0-${cores - 1}", javaBin,
+        s"-XX:ActiveProcessorCount=$cores",
+        s"-Xmx${Runtime.getRuntime.maxMemory()}") ++ opens ++ Seq(
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.BenchTrial", kind, cores.toString, nConv.toString, input, warm.toString)
+    val t0 = System.nanoTime()
+    try {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT) // child stderr → our stderr
+      val proc = pb.start()
+      val outReader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      // drain stdout on a thread so the child never blocks on a full pipe
+      val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val drainer = new Thread(() => {
+        var l = outReader.readLine()
+        while (l != null) { lines.add(l); l = outReader.readLine() }
+      })
+      drainer.setDaemon(true)
+      drainer.start()
+      val done = proc.waitFor(math.max(60L, maxWaitSec.toLong),
+        java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) {
+        proc.destroyForcibly()
+        System.err.println(s"[bench] forked $kind@$cores timed out after ${maxWaitSec.toInt}s — truncating")
+        throw new TrialTimeout(kind, cores)
+      }
+      drainer.join(2000)
+      val wall = (System.nanoTime() - t0) / 1e9
+      import scala.jdk.CollectionConverters._
+      val json = lines.asScala.toSeq.reverse.find(_.startsWith("""{"ok":"""))
+      json match {
+        case Some(j) if j.contains(""""ok":true""") =>
+          def num(key: String): Option[Double] =
+            (s""""$key":(-?[0-9.]+)""").r.findFirstMatchIn(j).map(_.group(1).toDouble)
+          val sec = num("sec").getOrElse(return None)
+          val turns = num("turns").getOrElse(return None).toLong
+          val achieved = num("achieved_cores").getOrElse(-1.0)
+          val stages = (""""([a-z_]+)":([0-9.]+)""").r.findAllMatchIn(
+            (""""stages":\{([^}]*)\}""").r.findFirstMatchIn(j).map(_.group(1)).getOrElse(""))
+            .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+          Some(Trial(cores, turns, sec, load, extBusy, achieved, stages,
+            kind = kind, wallSec = wall, forked = true))
+        case other =>
+          System.err.println(s"[bench] forked $kind@$cores failed " +
+            s"(exit ${proc.exitValue()}): ${other.getOrElse("no output")}")
+          None
+      }
+    } catch {
+      case t: TrialTimeout => throw t // budget exhaustion, not fork failure
+      case e: Exception =>
+        System.err.println(s"[bench] fork failed (${e.getMessage}); falling back in-process")
+        None
+    }
+  }
+
   /** One full pipeline run at the given parallelism. `achievedCores` =
     * process CPU seconds / wall seconds — the in-trial contamination signal:
     * on this shared host, co-tenant bursts (minutes long, invisible to
     * pre-trial sampling) show up as the JVM achieving far less parallelism
     * than requested.
     */
-  private def pipelineRun(cores: Int, nConv: Long): Trial = {
+  private def pipelineRunLocal(cores: Int, nConv: Long): Trial = {
     val input = corpus(nConv)
     val dir = s"$benchRoot/graft-bench-$cores-$nConv"
     rmrf(dir)
@@ -226,7 +333,7 @@ object Bench {
     * transfers to a real N→4N executor cluster, where each added executor
     * brings its own memory bus.
     */
-  private def calibRun(cores: Int, nConv: Long): Trial = {
+  private def calibRunLocal(cores: Int, nConv: Long): Trial = {
     val input = corpus(nConv)
     val load = loadavg1()
     val extBusy = cpuBusyFrac()
@@ -244,6 +351,19 @@ object Bench {
     SparkSession.clearDefaultSession()
     Trial(cores, turns, sec, load, extBusy, achieved, Nil, kind = "calib")
   }
+
+  /** Wait ceiling for a forked child; main keeps it at the remaining budget
+    * (plus grace) so a hung child can't outlive the run.
+    */
+  @volatile private var forkWaitSec: Double = 1500.0
+
+  private def pipelineRun(cores: Int, nConv: Long): Trial =
+    (if (forkMode) forkTrial("pipeline", cores, nConv, forkWaitSec) else None)
+      .getOrElse(pipelineRunLocal(cores, nConv))
+
+  private def calibRun(cores: Int, nConv: Long): Trial =
+    (if (forkMode) forkTrial("calib", cores, nConv, forkWaitSec) else None)
+      .getOrElse(calibRunLocal(cores, nConv))
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -400,6 +520,7 @@ object Bench {
             f"""{"cores":${t.cores},"kind":"${t.kind}","sec":${t.sec}%.2f,"turns_per_sec":${t.tput}%.1f,""" +
               f""""loadavg":${t.load}%.2f,"ext_busy":${t.extBusy}%.3f,""" +
               f""""achieved_cores":${t.achievedCores}%.1f,""" +
+              f""""forked":${t.forked},"wall_sec":${t.budgetSec}%.1f,""" +
               s""""disqualified":${t.disqualified}}""")
             .mkString("[", ",", "]")
           val peakJson =
@@ -420,6 +541,7 @@ object Bench {
             s""""scaling_efficiency_normalized":${jnum(effNorm)},""" +
             s""""measurement_valid":$valid,""" +
             s""""protocol":{"pairs_run":${trials.count(t => t.cores == loCores && t.kind == "pipeline")},"interleaved":true,""" +
+            s""""forked_pinned_jvms":${trials.forall(_.forked)},""" +
             f""""clean_rule":"cpu_per_turn<=${cpuFactor}%.1fx_best_qualified;>=2_qualified;achieved<=1.1x_requested+0.75",""" +
             f""""best_cpu_us_per_turn":${bestCpuPerTurn * 1e6}%.1f,""" +
             s""""lo_used_clean":${lo.usedClean},"hi_used_clean":${hi.usedClean},""" +
@@ -516,14 +638,24 @@ object Bench {
     var costPeak = Double.MaxValue
     var costHi = Double.MaxValue
     var costLo = Double.MaxValue
+    // forked-trial fixed overhead (child start + in-child JIT warmup): a
+    // per-TRIAL cost independent of corpus size. The fit must charge it
+    // separately — folding it into the per-conv estimate at a 30k-conv rung
+    // would overstate the marginal cost ~5× and shrink the corpus for
+    // nothing. min across rungs (contamination only inflates).
+    var fixedOv = 0.0
     var keepWarming = true
-    for (wc <- rungs if keepWarming && elapsed < 0.35 * budgetSec) {
+    var warmTimedOut = false
+    for (wc <- rungs if keepWarming && elapsed < 0.35 * budgetSec) try {
+      forkWaitSec = math.max(120.0, budgetSec - elapsed + 120.0)
       val wp = if (peakCores > 0) Some(pipelineRun(peakCores, wc)) else None
       val wh = pipelineRun(hiCores, wc)
       val wl = pipelineRun(loCores, wc)
       wp.foreach(p => costPeak = math.min(costPeak, p.sec / wc))
       costHi = math.min(costHi, wh.sec / wc)
       costLo = math.min(costLo, wl.sec / wc)
+      val ovs = (wp.toSeq :+ wh :+ wl).map(t => math.max(0.0, t.budgetSec - t.sec))
+      fixedOv = if (fixedOv == 0.0) ovs.min else math.min(fixedOv, ovs.min)
       warmFit = Some(costHi + costLo)
       val c = (wp.toSeq :+ wh :+ wl).map(_.cpuPerTurn).min
       System.err.println(f"[bench] warmup@$wc%d conv: peak ${wp.map(_.sec).getOrElse(0.0)}%.1fs " +
@@ -531,6 +663,12 @@ object Bench {
         f"best_cpu ${c * 1e6}%.0f µs/turn (prev best ${if (bestCost == Double.MaxValue) -1 else bestCost * 1e6}%.0f)")
       if (c > 0.9 * bestCost) keepWarming = false // converged — stop escalating
       bestCost = math.min(bestCost, c)
+    } catch {
+      case _: TrialTimeout =>
+        // a WARMUP rung outliving the whole budget means the box is too
+        // contaminated (or the budget too small) for any measured pair —
+        // emit the honest invalid artifact instead of digging deeper
+        keepWarming = false; warmTimedOut = true
     }
     nConv = warmFit match {
       case Some(pairSecPerConv) if pairSecPerConv > 0 =>
@@ -541,7 +679,13 @@ object Bench {
         // The peak-32 trial runs ONCE, after the efficiency pairs (peak-last
         // ordering) — charge it once, not per pair-slot.
         val peakSecPerConv = if (costPeak != Double.MaxValue) costPeak else 0.0
-        val fit2 = (rem /
+        // forked protocol: charge the per-trial fixed overhead (child start
+        // + in-child warmup) once per planned trial — 3 round-slots × 4
+        // trials (2 pipeline + 2 calib, calib children skip the warmup so
+        // ~half the overhead) + 2 peak trials ≈ 12 pipeline-equivalents
+        val fixedTotal = 12.0 * fixedOv
+        val rem2 = math.max(rem * 0.25, rem - fixedTotal)
+        val fit2 = (rem2 /
           (3.0 * 1.3 * 1.7 * pairSecPerConv + 1.7 * peakSecPerConv + genSecPerConv)).toLong
         // The floor is the work ≫ overhead threshold, but it must YIELD to
         // the budget: under heavy co-tenant weather (dress rehearsal #3
@@ -582,10 +726,14 @@ object Bench {
       pair < maxPairs ||
         (pair < hardCapPairs && (stillImproving || !measurementValid))
     def minSec(c: Int, kind: String = "pipeline"): Double = {
-      val s = trials.filter(t => t.cores == c && t.kind == kind).map(_.sec)
+      // budget admission must charge the FULL trial cost — for forked
+      // children that is the parent-observed wall (startup + warmup + run)
+      val s = trials.filter(t => t.cores == c && t.kind == kind).map(_.budgetSec)
       if (s.isEmpty) 0.0 else s.min
     }
     while (wantMore && !truncated) {
+      // a hung forked child must not outlive the budget window
+      forkWaitSec = math.max(120.0, budgetSec - elapsed + 120.0)
       // budget on the MINIMUM observed round cost: the cheapest-possible
       // next round is the right admission question — charging the worst let
       // a single contaminated 1,125 s trial block the retry that would have
@@ -596,16 +744,24 @@ object Bench {
       // Cheapest config first within each round (round-4 lesson: a budget
       // overrun mid-round still leaves ≥1 complete trial — and a stage
       // profile — at EACH parallelism instead of only the expensive side).
-      if (pair > 0 && elapsed + roundCost > budgetSec) truncated = true
-      else {
-        trials += pipelineRun(hiCores, nConv); checkpoint()
+      if (warmTimedOut || (pair > 0 && elapsed + roundCost > budgetSec)) truncated = true
+      else try {
+        // re-derive the wait ceiling before EVERY trial (not once per round):
+        // a stale round-start ceiling lets the last trial of a round overrun
+        // to budget + hi_cost + 120, brushing the driver's hard timeout
+        def refit(): Unit = forkWaitSec = math.max(120.0, budgetSec - elapsed + 120.0)
+        refit(); trials += pipelineRun(hiCores, nConv); checkpoint()
         // calibration rides right after its config's pipeline trial (same
         // JIT warmth, same weather window as the number it normalizes)
-        trials += calibRun(hiCores, nConv); checkpoint()
-        trials += pipelineRun(loCores, nConv); checkpoint()
-        trials += calibRun(loCores, nConv); checkpoint()
+        refit(); trials += calibRun(hiCores, nConv); checkpoint()
+        refit(); trials += pipelineRun(loCores, nConv); checkpoint()
+        refit(); trials += calibRun(loCores, nConv); checkpoint()
         pair += 1
         if (elapsed > budgetSec) truncated = true
+      } catch {
+        // budget-ceiling kill mid-round: keep the trials already banked
+        // (checkpointed after each), stop scheduling — honest truncation
+        case _: TrialTimeout => truncated = true
       }
     }
     // Peak-width trials run LAST, on whatever budget remains. The 32-thread
@@ -618,9 +774,11 @@ object Bench {
     // with the efficiency evidence for budget or JVM health.
     if (peakCores > 0) {
       var peaks = 0
-      while (peaks < 2 && elapsed + minSec(peakCores) <= budgetSec) {
+      while (peaks < 2 && elapsed + minSec(peakCores) <= budgetSec) try {
         trials += pipelineRun(peakCores, nConv); checkpoint()
         peaks += 1
+      } catch {
+        case _: TrialTimeout => peaks = 2 // peak is garnish — never overrun for it
       }
     }
 

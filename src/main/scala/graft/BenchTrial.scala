@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.Pipeline
+import graft.sources.TranscriptGen
+
+/** ONE scaling trial in its own JVM — the child side of the bench's forked
+  * measurement protocol. The parent launches this under
+  * `taskset -c 0..N-1` with `-XX:ActiveProcessorCount=N`, so the process is
+  * a true N-core proxy: GC worker count, JIT compiler threads, netty pools
+  * and Spark's own defaults all size to N (a containerized executor's
+  * world), instead of a local[N] session inside a 32-CPU JVM whose ~23
+  * service threads leak extra parallelism into the low-core config
+  * (measured: healthy local[2] in-process trials achieve 2.2-2.8 cores).
+  * Per-trial isolation also removes the two cross-trial confounds the
+  * in-process protocol had to medicate with warmup ladders and clean rules:
+  * JIT warmth drifting across pairs (best per-turn CPU fell 322→121 µs over
+  * 5 pairs in round 3) and inherited heap/collection debt (round-5 runs saw
+  * hi-trial walls drift 57→102 s across pairs).
+  *
+  * Usage: BenchTrial <kind: pipeline|calib> <cores> <nConv> <corpusDir> [warmConv]
+  *
+  * Prints exactly one JSON line on stdout:
+  * `{"ok":true,"sec":S,"turns":T,"achieved_cores":A,"stages":{...}}`
+  * (or `{"ok":false,"err":"..."}` and exit 1). `sec` covers ONLY the
+  * measured job — child startup and the in-child JIT warmup run are
+  * excluded (the parent charges full child wall time against the budget).
+  */
+object BenchTrial {
+  private val root: String =
+    sys.env.get("GRAFT_BENCH_DIR").getOrElse {
+      if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm/graft-bench"
+      else System.getProperty("java.io.tmpdir")
+    }
+
+  private def session(cores: Int): SparkSession = {
+    val s = graft.util.Sessions.local(cores, appName = s"graft-trial-$cores",
+      localDir = Some(s"$root/spill"))
+    s.conf.set("spark.sql.files.maxPartitionBytes", "16m") // bench parity
+    s
+  }
+
+  private def rmrf(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+  }
+
+  private def procCpuNs: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    try {
+      val kind = args(0)
+      val cores = args(1).toInt
+      val nConv = args(2).toLong
+      val corpusDir = args(3)
+      val warmConv = if (args.length > 4) args(4).toLong else 0L
+      val spark = session(cores)
+      spark.sparkContext.setLogLevel("ERROR")
+
+      // in-child JIT/codegen warmup: a small end-to-end pipeline run (fresh
+      // generated corpus — also warms the generator/parquet paths). Without
+      // it a cold child's measured sec absorbs one-time compilation, and
+      // the bias is proportionally larger for the faster (hi-core) config.
+      if (warmConv > 0) {
+        val wdir = s"$root/trial-warm-$cores"
+        rmrf(wdir)
+        Pipeline.run(spark, Pipeline.Config(wdir,
+          TranscriptGen.Config(nConv = warmConv), checkpoint = "final"))
+        rmrf(wdir)
+        graft.util.TempCaches.release(spark)
+        System.gc()
+      }
+
+      val result: (Double, Long, Seq[(String, Double)]) = kind match {
+        case "pipeline" =>
+          val dir = s"$root/trial-work-$cores"
+          rmrf(dir)
+          val cpu0 = procCpuNs
+          val t0 = System.nanoTime()
+          val r = Pipeline.run(spark, Pipeline.Config(dir,
+            TranscriptGen.Config(nConv = nConv), checkpoint = "final",
+            transcriptsPath = Some(corpusDir), inputOrdered = true))
+          val sec = (System.nanoTime() - t0) / 1e9
+          val achieved = (procCpuNs - cpu0) / 1e9 / sec
+          rmrf(dir)
+          (sec, r.turns, r.stages.map(s => s.stage -> s.wallMs / 1000.0) :+
+            ("achieved" -> achieved))
+        case "calib" =>
+          import spark.implicits._
+          val turns = spark.read.parquet(corpusDir).count()
+          def calibPass(): Unit = {
+            val turnsDs = spark.read.parquet(corpusDir).as[graft.model.Turn]
+            graft.operators.extract.Extract.triples(turnsDs).toDF().count()
+          }
+          // Warmup pass: a cold child charges one-time JIT/codegen compile
+          // (~constant seconds) to the measured sec, and the bias is
+          // proportionally larger at the faster (hi-core) config — which
+          // DEFLATES the hardware ceiling and flatters the normalized
+          // efficiency. Measure the second, steady-state pass only.
+          calibPass()
+          val cpu0 = procCpuNs
+          val t0 = System.nanoTime()
+          calibPass()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val achieved = (procCpuNs - cpu0) / 1e9 / sec
+          (sec, turns, Seq("achieved" -> achieved))
+        case other => throw new IllegalArgumentException(s"unknown kind: $other")
+      }
+      val (sec, turns, stagesAndMeta) = result
+      val achieved = stagesAndMeta.find(_._1 == "achieved").map(_._2).getOrElse(-1.0)
+      val stages = stagesAndMeta.filter(_._1 != "achieved")
+      spark.stop()
+      val stagesJson = stages.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+      println(f"""{"ok":true,"sec":$sec%.3f,"turns":$turns,"achieved_cores":$achieved%.2f,"stages":$stagesJson}""")
+      System.out.flush()
+    } catch {
+      case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")
+        println(s"""{"ok":false,"err":"$msg"}""")
+        System.out.flush()
+        sys.exit(1)
+    }
+  }
+}
