@@ -187,7 +187,8 @@ object Bench {
     corpusCache.remove(nConv).foreach(rmrf)
 
   // ---- forked trial protocol (round-5 close-out) -------------------------
-  // Each measured trial runs in its OWN JVM, pinned with `taskset -c 0..N-1`
+  // Each measured trial runs in its OWN JVM, pinned with `taskset` to the
+  // top N cpus of the range
   // and sized with `-XX:ActiveProcessorCount=N`, so the process is a true
   // N-core proxy (GC/JIT/netty pools scale with N — a containerized
   // executor's world) instead of a local[N] session inside a 32-CPU JVM
@@ -228,8 +229,16 @@ object Bench {
       "java.base/sun.util.calendar")
       .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val warm = if (kind == "pipeline") warmConvFor(nConv) else 0L
+    // Pin to the TOP of the cpu range, not 0..N-1: core 0 carries kernel
+    // IRQ/housekeeping work and is where freshly-scheduled co-tenant load
+    // lands first — r5j measured fresh lo children improving 201.8→113.5 s
+    // across 4 pairs at constant achieved cores on cpus 0-1, the signature
+    // of shared-core contention, not engine variance. The parent JVM's own
+    // threads also favor low cpu ids while it waits.
+    val nCpus = Runtime.getRuntime.availableProcessors()
+    val pinLo = math.max(0, nCpus - cores)
     val cmd: Seq[String] =
-      Seq("taskset", "-c", s"0-${cores - 1}", javaBin,
+      Seq("taskset", "-c", s"$pinLo-${nCpus - 1}", javaBin,
         s"-XX:ActiveProcessorCount=$cores",
         s"-Xmx${Runtime.getRuntime.maxMemory()}") ++ opens ++ Seq(
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",

@@ -8,8 +8,9 @@ import graft.plans.Pipeline
 import graft.sources.TranscriptGen
 
 /** ONE scaling trial in its own JVM — the child side of the bench's forked
-  * measurement protocol. The parent launches this under
-  * `taskset -c 0..N-1` with `-XX:ActiveProcessorCount=N`, so the process is
+  * measurement protocol. The parent launches this under `taskset` pinned to
+  * the top N cpus (away from core 0's kernel-housekeeping/IRQ noise) with
+  * `-XX:ActiveProcessorCount=N`, so the process is
   * a true N-core proxy: GC worker count, JIT compiler threads, netty pools
   * and Spark's own defaults all size to N (a containerized executor's
   * world), instead of a local[N] session inside a 32-CPU JVM whose ~23
