@@ -613,10 +613,16 @@ object Bench {
       // (ext_busy/loadavg gating) but the sweep did not. Best-of-two
       // passes halves the exposure, and the second pass runs warmer (plans
       // and the memoized graph already built) so it usually IS the min.
-      // Budget-guarded: only when a second full sweep still leaves ≥75% of
-      // the budget for the scaling evidence — never trade trials for it.
+      // Budget-guarded twice: a second full sweep must leave ≥75% of the
+      // budget for the scaling evidence, AND pass 1 itself must have run at
+      // quiet-box speed (≤7% of budget ≈ 168 s; quiet full sweeps measure
+      // ~105-140 s). A slow pass 1 is the signature of a co-tenant-loaded
+      // box — exactly when every saved second must go to the trial pairs
+      // (dress rehearsal r5m: a 2.5×-slow box spent ~1,600 s before the
+      // first trial and only one pair fit → measurement_valid:false).
       val pass1Sec = results.map(_._2).sum
-      if (failures.isEmpty && elapsed + pass1Sec < 0.25 * budgetSec) {
+      if (failures.isEmpty && elapsed + pass1Sec < 0.25 * budgetSec &&
+          pass1Sec < 0.07 * budgetSec) {
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           val t0 = System.nanoTime()
           try {
@@ -644,19 +650,25 @@ object Bench {
     // full pipeline passes to reach steady state — round 3 measured best
     // per-turn CPU falling 322→121 µs across 5 pairs, and round 4's single
     // nConv/5 warmup left the first full trial 4× cold, which is what ate
-    // the budget. A ladder of (peak, hi, lo) rounds at nConvReq/40 → /16
-    // warms all three configs at a fraction of a full round's cost; the
-    // later rung is skipped once the best per-turn CPU stops improving >10%
-    // (JIT converged) or the warmup share of the budget (35%) is spent. The
-    // last rung doubles as the THROUGHPUT PROBE that budget-fits the
-    // measured corpus. Per-conv cost GROWS with corpus (GC/spill pressure):
+    // the budget. Under the FORKED protocol every trial child self-warms
+    // (warmConvFor), so the parent-side ladder is purely the THROUGHPUT
+    // PROBE that budget-fits the measured corpus — which re-prices what it
+    // may cost: rung 1 probes (hi, lo) at nConvReq/40; rung 2 refines the
+    // hi per-conv cost only (at /16), and only while elapsed < 22% of the
+    // budget — the lo probe's refinement never paid for itself (r5m: a
+    // 173 s 2-core rung-2 probe whose estimate LOST to rung 1's under min),
+    // and the peak config needs no probe at all (peak trials are garnish,
+    // run last, and self-guard on the remaining budget with a 1.3×hi wall
+    // proxy). Dress rehearsal r5m burned ~540 s warming (peak, hi, lo)×2 on
+    // a 2.5×-slow box and left only 792 s — one pair — of trial budget.
+    // A later rung is also skipped once the best per-turn CPU stops
+    // improving >10%. Per-conv cost GROWS with corpus (GC/spill pressure):
     // the r5 dress rehearsals measured full-corpus trials at 1.45-1.79× the
     // warm-rung estimate, so the fit plans THREE round-slots (2 clean
     // lo/hi rounds = the admissibility bar, +1 slot so a weather-
     // contaminated trial can be retried instead of invalidating the
-    // artifact) at 1.7 safety. Rehearsal #2 fit 2 slots at 1.6 and chose
-    // 1.06M conv — the measured pair cost could not fit twice in the 1935 s
-    // remaining.
+    // artifact) at 1.7 safety — falling back to a tighter 2-slot plan when
+    // the 3-slot fit lands below the floor (see the fit below).
     val margin = 60.0
     var warmFit: Option[Double] = None // sec per conv for one (hi+lo) pair
     val rungs = Seq(40L, 16L).map(d => math.max(nConvReq / d, 200L)).distinct
@@ -668,7 +680,6 @@ object Bench {
     // window's 256 s weather-hit peak rung sank the last-rung-only fit 4×
     // and forced the 150k hard-minimum corpus. The 1.7 safety factor already
     // covers genuine per-conv cost growth with corpus size.
-    var costPeak = Double.MaxValue
     var costHi = Double.MaxValue
     var costLo = Double.MaxValue
     // forked-trial fixed overhead (child start + in-child JIT warmup): a
@@ -679,30 +690,35 @@ object Bench {
     var fixedOv = 0.0
     var keepWarming = true
     var warmTimedOut = false
-    for (wc <- rungs if keepWarming && elapsed < 0.35 * budgetSec) try {
-      forkWaitSec = math.max(120.0, budgetSec - elapsed + 120.0)
-      val wp = if (peakCores > 0) Some(pipelineRun(peakCores, wc)) else None
-      val wh = pipelineRun(hiCores, wc)
-      val wl = pipelineRun(loCores, wc)
-      wp.foreach(p => costPeak = math.min(costPeak, p.sec / wc))
-      costHi = math.min(costHi, wh.sec / wc)
-      costLo = math.min(costLo, wl.sec / wc)
-      val ovs = (wp.toSeq :+ wh :+ wl).map(t => math.max(0.0, t.budgetSec - t.sec))
-      fixedOv = if (fixedOv == 0.0) ovs.min else math.min(fixedOv, ovs.min)
-      warmFit = Some(costHi + costLo)
-      val c = (wp.toSeq :+ wh :+ wl).map(_.cpuPerTurn).min
-      System.err.println(f"[bench] warmup@$wc%d conv: peak ${wp.map(_.sec).getOrElse(0.0)}%.1fs " +
-        f"hi ${wh.sec}%.1fs lo ${wl.sec}%.1fs " +
-        f"best_cpu ${c * 1e6}%.0f µs/turn (prev best ${if (bestCost == Double.MaxValue) -1 else bestCost * 1e6}%.0f)")
-      if (c > 0.9 * bestCost) keepWarming = false // converged — stop escalating
-      bestCost = math.min(bestCost, c)
-    } catch {
-      case _: TrialTimeout =>
-        // a WARMUP rung outliving the whole budget means the box is too
-        // contaminated (or the budget too small) for any measured pair —
-        // emit the honest invalid artifact instead of digging deeper
-        keepWarming = false; warmTimedOut = true
-    }
+    for ((wc, rung) <- rungs.zipWithIndex
+         if keepWarming && elapsed < (if (rung == 0) 0.35 else 0.22) * budgetSec)
+      try {
+        forkWaitSec = math.max(120.0, budgetSec - elapsed + 120.0)
+        val wh = pipelineRun(hiCores, wc)
+        // lo probed once, at the cheap first rung: its per-conv estimate is
+        // conservative there (fixed overhead inflates it → a smaller, safer
+        // corpus) and a 2-core rung-2 probe costs ~4× the hi probe for a
+        // refinement the min() has never actually taken
+        val wl = if (rung == 0) Some(pipelineRun(loCores, wc)) else None
+        costHi = math.min(costHi, wh.sec / wc)
+        wl.foreach(l => costLo = math.min(costLo, l.sec / wc))
+        val ovs = (wh +: wl.toSeq).map(t => math.max(0.0, t.budgetSec - t.sec))
+        fixedOv = if (fixedOv == 0.0) ovs.min else math.min(fixedOv, ovs.min)
+        if (costHi != Double.MaxValue && costLo != Double.MaxValue)
+          warmFit = Some(costHi + costLo)
+        val c = (wh +: wl.toSeq).map(_.cpuPerTurn).min
+        System.err.println(f"[bench] warmup@$wc%d conv: " +
+          f"hi ${wh.sec}%.1fs lo ${wl.map(_.sec).getOrElse(0.0)}%.1fs " +
+          f"best_cpu ${c * 1e6}%.0f µs/turn (prev best ${if (bestCost == Double.MaxValue) -1 else bestCost * 1e6}%.0f)")
+        if (c > 0.9 * bestCost) keepWarming = false // converged — stop escalating
+        bestCost = math.min(bestCost, c)
+      } catch {
+        case _: TrialTimeout =>
+          // a WARMUP rung outliving the whole budget means the box is too
+          // contaminated (or the budget too small) for any measured pair —
+          // emit the honest invalid artifact instead of digging deeper
+          keepWarming = false; warmTimedOut = true
+      }
     nConv = warmFit match {
       case Some(pairSecPerConv) if pairSecPerConv > 0 =>
         val rem = budgetSec - elapsed - margin
@@ -710,16 +726,26 @@ object Bench {
         // each round carries the two calibration kernels (~30% of a
         // pipeline pair — the map stages' share) on top of the 1.7 safety.
         // The peak-32 trial runs ONCE, after the efficiency pairs (peak-last
-        // ordering) — charge it once, not per pair-slot.
-        val peakSecPerConv = if (costPeak != Double.MaxValue) costPeak else 0.0
+        // ordering) — charge it once, not per pair-slot. No peak warmup rung
+        // exists under the lean ladder, so its wall is priced at the 1.3×hi
+        // proxy the peak-last loop itself uses (thrash regime: the 32-thread
+        // wall lands in the hi config's band).
+        val peakSecPerConv = if (peakCores > 0) 1.3 * costHi else 0.0
         // forked protocol: charge the per-trial fixed overhead (child start
         // + in-child warmup) once per planned trial — 3 round-slots × 4
         // trials (2 pipeline + 2 calib, calib children skip the warmup so
         // ~half the overhead) + 2 peak trials ≈ 12 pipeline-equivalents
         val fixedTotal = 12.0 * fixedOv
         val rem2 = math.max(rem * 0.25, rem - fixedTotal)
-        val fit2 = (rem2 /
+        val fit3slot = (rem2 /
           (3.0 * 1.3 * 1.7 * pairSecPerConv + 1.7 * peakSecPerConv + genSecPerConv)).toLong
+        // Slow-box fallback tier: when even 3 comfortable slots don't reach
+        // the floor, re-fit for exactly 2 round-slots (the admissibility
+        // bar) at 1.45 safety with peak dropped — a valid artifact with no
+        // retry headroom beats r5m's guaranteed-invalid single pair (the
+        // hard minimum forced a corpus 15× the honest fit; one pair ran).
+        val fit2slot = (math.max(rem * 0.25, rem - 8.0 * fixedOv) /
+          (2.0 * 1.3 * 1.45 * pairSecPerConv + genSecPerConv)).toLong
         // The floor is the work ≫ overhead threshold, but it must YIELD to
         // the budget: under heavy co-tenant weather (dress rehearsal #3
         // measured a 137.9 s hi rung that quiet hosts run in 35 s) forcing
@@ -730,9 +756,10 @@ object Bench {
         // shrink to fit, never below the hard minimum.
         val hardMin = sys.env.getOrElse("GRAFT_BENCH_CONV_MIN", "150000").toLong
         val chosen =
-          if (fit2 >= nConvFloor) math.min(nConvReq, fit2)
-          else math.min(nConvReq, math.max(fit2, math.min(hardMin, nConvFloor)))
-        System.err.println(f"[bench] corpus fit $fit2%d → using $chosen%d " +
+          if (fit3slot >= nConvFloor) math.min(nConvReq, fit3slot)
+          else if (fit2slot >= hardMin) math.min(nConvFloor, fit2slot)
+          else math.min(nConvReq, math.max(fit3slot, math.min(hardMin, nConvFloor)))
+        System.err.println(f"[bench] corpus fit3 $fit3slot%d fit2 $fit2slot%d → using $chosen%d " +
           f"(ceiling $nConvReq%d, floor $nConvFloor%d, min $hardMin%d, rem ${rem}%.0fs)")
         chosen
       // no time to probe throughput — take the floor, never the ceiling
