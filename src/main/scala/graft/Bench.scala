@@ -751,10 +751,14 @@ object Bench {
         // measured a 137.9 s hi rung that quiet hosts run in 35 s) forcing
         // the floor re-creates the r4 failure — one expensive pair, no
         // admissible artifact. Below-floor corpora still give meaningful
-        // efficiency down to ~300k conv (round-2 measurements put the
-        // fixed-overhead regime under ~100k), so validity beats size:
-        // shrink to fit, never below the hard minimum.
-        val hardMin = sys.env.getOrElse("GRAFT_BENCH_CONV_MIN", "150000").toLong
+        // efficiency down to the fixed-overhead regime boundary (~100k conv
+        // per round-2 measurements), so validity beats size: shrink to fit,
+        // never below the hard minimum. The minimum IS that boundary —
+        // rehearsal r5n's honest 2-slot fit read 104k conv but the then-150k
+        // minimum forced a corpus whose lo trial cost ~990 s/pair and only
+        // one pair fit: a minimum above the meaningfulness boundary converts
+        // bad weather into guaranteed-invalid artifacts for nothing.
+        val hardMin = sys.env.getOrElse("GRAFT_BENCH_CONV_MIN", "100000").toLong
         val chosen =
           if (fit3slot >= nConvFloor) math.min(nConvReq, fit3slot)
           else if (fit2slot >= hardMin) math.min(nConvFloor, fit2slot)
