@@ -777,12 +777,12 @@ object Bench {
     // cost by >5%, the JVM is still warming (JIT/code-cache effects persist
     // across the per-trial sessions — observed best cost falling 322→121 µs
     // across 5 pairs) and a median taken now would mix cold and warm regimes.
-    def stillImproving: Boolean =
-      Seq(loCores, hiCores).exists { c =>
-        val ts = trials.filter(t => t.cores == c && t.kind == "pipeline" && !t.disqualified)
-          .map(_.cpuPerTurn).toSeq
-        ts.size >= 2 && ts.last <= 0.95 * ts.init.min
-      }
+    def improving(c: Int): Boolean = {
+      val ts = trials.filter(t => t.cores == c && t.kind == "pipeline" && !t.disqualified)
+        .map(_.cpuPerTurn).toSeq
+      ts.size >= 2 && ts.last <= 0.95 * ts.init.min
+    }
+    def stillImproving: Boolean = Seq(loCores, hiCores).exists(improving)
     // keep scheduling rounds (up to the 2× hard cap) until BOTH efficiency
     // configs have ≥2 clean trials — the admissibility bar — so one weather-
     // contaminated trial buys a retry instead of poisoning the efficiency
@@ -795,31 +795,49 @@ object Bench {
       val s = trials.filter(t => t.cores == c && t.kind == kind).map(_.budgetSec)
       if (s.isEmpty) 0.0 else s.min
     }
-    while (wantMore && !truncated) {
+    var retriesExhausted = false
+    while (wantMore && !truncated && !retriesExhausted) {
       // a hung forked child must not outlive the budget window
       forkWaitSec = math.max(120.0, budgetSec - elapsed + 120.0)
+      // Retry rounds (past the first two full pairs) run ONLY the config
+      // that still lacks its 2 clean trials. The efficiency is the ratio of
+      // per-config MEDIANS over each config's own clean set — not a paired
+      // statistic — so a single-config retry is statistically sound, and it
+      // is the budget that decides validity: rehearsal r5o banked 2 clean
+      // hi trials in 2 pairs but spent its remaining ~840 s on a FULL pair
+      // when a ~450 s lo-only retry (the flaky, expensive config) would
+      // have left room for a second one. stillImproving keeps its config
+      // in the round for the same reason it extends the loop.
+      val runHi = pair < 2 || pick(hiCores).nClean < 2 || improving(hiCores)
+      val runLo = pair < 2 || pick(loCores).nClean < 2 || improving(loCores)
       // budget on the MINIMUM observed round cost: the cheapest-possible
       // next round is the right admission question — charging the worst let
       // a single contaminated 1,125 s trial block the retry that would have
       // produced the clean evidence (round-3 defect)
-      val roundCost = minSec(hiCores) + minSec(loCores) +
-        minSec(hiCores, "calib") + minSec(loCores, "calib")
+      val roundCost =
+        (if (runHi) minSec(hiCores) + minSec(hiCores, "calib") else 0.0) +
+          (if (runLo) minSec(loCores) + minSec(loCores, "calib") else 0.0)
       // the first round always runs — partial scaling evidence beats none.
       // Cheapest config first within each round (round-4 lesson: a budget
       // overrun mid-round still leaves ≥1 complete trial — and a stage
       // profile — at EACH parallelism instead of only the expensive side).
-      if (warmTimedOut || (pair > 0 && elapsed + roundCost > budgetSec)) truncated = true
+      if (!runHi && !runLo) retriesExhausted = true // both banked; nothing a retry can add
+      else if (warmTimedOut || (pair > 0 && elapsed + roundCost > budgetSec)) truncated = true
       else try {
         // re-derive the wait ceiling before EVERY trial (not once per round):
         // a stale round-start ceiling lets the last trial of a round overrun
         // to budget + hi_cost + 120, brushing the driver's hard timeout
         def refit(): Unit = forkWaitSec = math.max(120.0, budgetSec - elapsed + 120.0)
-        refit(); trials += pipelineRun(hiCores, nConv); checkpoint()
-        // calibration rides right after its config's pipeline trial (same
-        // JIT warmth, same weather window as the number it normalizes)
-        refit(); trials += calibRun(hiCores, nConv); checkpoint()
-        refit(); trials += pipelineRun(loCores, nConv); checkpoint()
-        refit(); trials += calibRun(loCores, nConv); checkpoint()
+        if (runHi) {
+          refit(); trials += pipelineRun(hiCores, nConv); checkpoint()
+          // calibration rides right after its config's pipeline trial (same
+          // JIT warmth, same weather window as the number it normalizes)
+          refit(); trials += calibRun(hiCores, nConv); checkpoint()
+        }
+        if (runLo) {
+          refit(); trials += pipelineRun(loCores, nConv); checkpoint()
+          refit(); trials += calibRun(loCores, nConv); checkpoint()
+        }
         pair += 1
         if (elapsed > budgetSec) truncated = true
       } catch {
