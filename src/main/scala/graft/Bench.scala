@@ -740,12 +740,15 @@ object Bench {
         val fit3slot = (rem2 /
           (3.0 * 1.3 * 1.7 * pairSecPerConv + 1.7 * peakSecPerConv + genSecPerConv)).toLong
         // Slow-box fallback tier: when even 3 comfortable slots don't reach
-        // the floor, re-fit for exactly 2 round-slots (the admissibility
-        // bar) at 1.45 safety with peak dropped — a valid artifact with no
-        // retry headroom beats r5m's guaranteed-invalid single pair (the
-        // hard minimum forced a corpus 15× the honest fit; one pair ran).
+        // the floor, re-fit at 1.45 safety with peak dropped. 2.6 slots, not
+        // the bare 2-slot admissibility bar: rehearsal r5p's 2-slot fit
+        // priced its two pairs correctly (669 s budgeted, 701/580 actual)
+        // but flip-flop weather left each config 1 clean of 2 and the
+        // retry pair missed the budget gate by 15 s — the 0.6-slot headroom
+        // (a ~23% smaller corpus) is the retry's seat at the table, and a
+        // valid artifact at 120k conv beats an invalid one at 156k.
         val fit2slot = (math.max(rem * 0.25, rem - 8.0 * fixedOv) /
-          (2.0 * 1.3 * 1.45 * pairSecPerConv + genSecPerConv)).toLong
+          (2.6 * 1.3 * 1.45 * pairSecPerConv + genSecPerConv)).toLong
         // The floor is the work ≫ overhead threshold, but it must YIELD to
         // the budget: under heavy co-tenant weather (dress rehearsal #3
         // measured a 137.9 s hi rung that quiet hosts run in 35 s) forcing
