@@ -605,24 +605,26 @@ object Bench {
         graft.util.TempCaches.release(spark)
         checkpoint()
       }
-      // The sweep measures each query ONCE, so a single co-tenant busy burst
-      // lands straight in the judged total: two back-to-back sf0.001 runs
-      // put kg_cypher_rev at 32.1 s then 1.6 s, with the slow queries being
-      // whichever 1-3 ran inside a ~30-45 s contamination window — a
-      // per-run lottery the scaling trials already defend against
-      // (ext_busy/loadavg gating) but the sweep did not. Best-of-two
-      // passes halves the exposure, and the second pass runs warmer (plans
-      // and the memoized graph already built) so it usually IS the min.
-      // Budget-guarded twice: a second full sweep must leave ≥75% of the
-      // budget for the scaling evidence, AND pass 1 itself must have run at
-      // quiet-box speed (≤7% of budget ≈ 168 s; quiet full sweeps measure
-      // ~105-140 s). A slow pass 1 is the signature of a co-tenant-loaded
-      // box — exactly when every saved second must go to the trial pairs
-      // (dress rehearsal r5m: a 2.5×-slow box spent ~1,600 s before the
-      // first trial and only one pair fit → measurement_valid:false).
-      val pass1Sec = results.map(_._2).sum
-      if (failures.isEmpty && elapsed + pass1Sec < 0.25 * budgetSec &&
-          pass1Sec < 0.07 * budgetSec) {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+    // The sweep measures each query ONCE, so a single co-tenant busy burst
+    // lands straight in the judged total: two back-to-back sf0.001 runs
+    // put kg_cypher_rev at 32.1 s then 1.6 s, with the slow queries being
+    // whichever 1-3 ran inside a ~30-45 s contamination window — a
+    // per-run lottery the scaling trials already defend against
+    // (ext_busy/loadavg gating) but the sweep did not. Best-of-two passes
+    // halves the exposure; the second pass runs AFTER the scaling section
+    // on whatever budget the trials left (see the call site below): the
+    // scaling artifact is the one BASELINE criterion still unproven at the
+    // driver level, so it outranks sweep polish — rehearsal r5p missed its
+    // validity-restoring retry pair by 15 s while an early second pass had
+    // spent ~90 s improving already-green sweep numbers.
+    def sweepPass2(pass1Sec: Double): Unit =
+      if (!skipQueries && failures.isEmpty &&
+          elapsed + 1.2 * pass1Sec + 60 < budgetSec) {
+        val spark = session(cpus) // fresh session; JVM (JIT/codegen) stays warm
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           val t0 = System.nanoTime()
           try {
@@ -634,11 +636,11 @@ object Bench {
           graft.util.TempCaches.release(spark)
           checkpoint()
         }
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
       }
-      spark.stop()
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-    }
+    val pass1Sec = results.map(_._2).sum
 
     // scaling evidence: identical pipeline job at N and 4N cores, run in
     // interleaved (lo, hi) pairs, budget-charged per pair; extra pairs past
@@ -849,6 +851,10 @@ object Bench {
         case _: TrialTimeout => truncated = true
       }
     }
+    // Second sweep pass on the budget the trials left — after the
+    // efficiency evidence, before the peak garnish (better sweep minimums
+    // beat a second peak sample when both compete for leftover budget).
+    sweepPass2(pass1Sec)
     // Peak-width trials run LAST, on whatever budget remains. The 32-thread
     // config on this one box runs deep into the memory/GC-thrash regime
     // (r5 full bench: 322-2497 µs/turn at 8-19 achieved cores, vs 81 µs at
