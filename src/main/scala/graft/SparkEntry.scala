@@ -56,7 +56,8 @@ object SparkEntry {
     * edge-table shuffle five times per session (round-3 judge finding; at
     * 100× each repeat is a full edge-table shuffle).
     */
-  private final case class CachedGraph(g: GraphTables, patternEdges: DataFrame)
+  private final case class CachedGraph(g: GraphTables, patternEdges: DataFrame,
+      linked: DataFrame)
 
   private val graphCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), CachedGraph]
@@ -67,13 +68,29 @@ object SparkEntry {
     // cache doesn't retain dead sessions and their persisted plans forever
     graphCache.keySet.removeIf(_._1.sparkContext.isStopped)
     graphCache.computeIfAbsent((s, dir), { _ =>
-      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val linked = kgLinked(s, dir)
-      val canon = Canonicalize(linked, TpchKg.dict(s, dir)).persist(MEMORY_AND_DISK)
+      // Materialize with LINEAGE CUT (eager localCheckpoint, same
+      // MEMORY_AND_DISK residency as a persist), not bare persist: a
+      // persisted DataFrame's analyzed plan still carries the WHOLE
+      // extract→link→CC→materialize DAG below it, and every one of the ~20
+      // kg_match_*/kg_cypher* queries that builds on nodes/patternEdges
+      // re-pays driver-side plan work (canonicalization for the cache
+      // lookup, per-execution plan rendering) proportional to that tree —
+      // measured ~2.0 s of the ~2.6 s warm per-query cost at sf0.1
+      // (ProfileWarm: identical 2-expand+distinct plan 2.6 s over persists
+      // vs 0.5 s over checkpointed leaves). The checkpoint gives each
+      // serving query a shallow LogicalRDD scan — the same serving-from-
+      // snapshot shape Pipeline's final mode uses at stage boundaries.
+      // linked is checkpointed first: canon consumes it in two subtrees
+      // (sides vocabulary + the rewrite joins), which otherwise re-ran the
+      // whole extract+link chain per consumer.
+      val linked = kgLinked(s, dir).toDF().localCheckpoint(true)
+      import s.implicits._
+      val canon = Canonicalize(linked.as[graft.model.LinkedTriple],
+        TpchKg.dict(s, dir)).toDF().localCheckpoint(true)
       val types = TpchKg.dict(s, dir)
         .select(col("canonical_name").as("canon_name"), col("entity_type")).distinct()
-      val g = Materialize.graph(canon, Some(types))
-      val edges = g.edges.persist(MEMORY_AND_DISK)
+      val g = Materialize.graph(canon.as[graft.model.CanonTriple], Some(types))
+      val edges = g.edges.localCheckpoint(true)
       // the name-distinct view needs its own edge id (provenance ids
       // collapsed with the multiplicity): rows are unique on
       // (src, dst, rel_type), so a content hash of exactly that is one —
@@ -82,10 +99,25 @@ object SparkEntry {
         .distinct()
         .select(GraftFunctions.fnv64(concat_ws(":", col("src"), col("dst"),
           col("rel_type"))).as("id"), col("src"), col("dst"), col("rel_type"))
-        .persist(MEMORY_AND_DISK)
-      CachedGraph(GraphTables(g.nodes.persist(MEMORY_AND_DISK), edges), patternEdges)
+        .localCheckpoint(true)
+      val nodes = g.nodes.localCheckpoint(true)
+      // canon fed only the materialization; its blocks are dead weight once
+      // nodes+edges are checkpointed. linked STAYS resident: kg_linked
+      // serves from it (the same stage-snapshot serving kg_nodes/kg_edges
+      // get — it is the linking stage's committed output for this session).
+      releaseCheckpoint(canon)
+      CachedGraph(GraphTables(nodes, edges), patternEdges, linked)
     })
   }
+
+  /** Free a checkpointed intermediate's blocks (localCheckpoint persists at
+    * the RDD layer — DataFrame.unpersist can't reach it).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   private def kgGraph(s: SparkSession, dir: String): GraphTables = kgCached(s, dir).g
 
@@ -140,15 +172,23 @@ object SparkEntry {
     "kg_triples" -> ((s, dir) =>
       Extract.triples(TpchKg.turns(s, dir))
         .select(col("conv_id"), col("turn_idx"), col("subj"), col("pred"), col("obj"))),
+    // served from the memoized graph's linked-stage checkpoint (the exact
+    // DataFrame kgCached materialized) — the serving-from-snapshot shape
+    // kg_nodes/kg_edges already use; recomputing the full extract+link chain
+    // per reference cost ~4 s/sweep at sf0.1 for identical rows
     "kg_linked" -> ((s, dir) =>
-      kgLinked(s, dir)
+      kgCached(s, dir).linked
         .select(col("conv_id"), col("turn_idx"), col("subj_name"), col("pred"), col("obj_name"))),
     "kg_components" -> ((s, dir) => {
       GraftFunctions.register(s)
-      val ents = TpchKg.entityNames(s, dir).select("name").distinct()
+      // ents feeds three subtrees (variant explode + both edge sides) and
+      // idName three more (CC vertices, member join, canon join) — tracked
+      // persists so each distinct's union+shuffle runs once, not per
+      // consumer (the duplicated subtrees were ~2 s of the query at sf0.1)
+      val ents = graft.util.TempCaches.track(
+        TpchKg.entityNames(s, dir).select("name").distinct())
       val vars = ents.select(col("name"),
         explode(array(col("name"), lower(col("name")), upper(col("name")))).as("member"))
-        .distinct()
       // chain (not star) edges: name↔lower and lower↔upper — forces the
       // large-star/small-star alternation to do real multi-round work while
       // keeping the oracle's components identical
@@ -157,13 +197,18 @@ object SparkEntry {
       val e2 = ents.select(GraftFunctions.fnv64(lower(col("name"))).as("src"),
         GraftFunctions.fnv64(upper(col("name"))).as("dst"))
       val edges = e1.unionByName(e2).where(col("src") =!= col("dst"))
-      val idName = vars.select(GraftFunctions.fnv64(col("member")).as("id"), col("member")).distinct()
+      // no pre-distinct on vars: idName distincts after the hash anyway —
+      // the intermediate distinct was a second full shuffle of the same rows
+      val idName = graft.util.TempCaches.track(
+        vars.select(GraftFunctions.fnv64(col("member")).as("id"), col("member")).distinct())
       // runWithVertices keeps variant-free members (name == lower == upper)
       // as their own singleton components — matches the oracle's DISTINCT
       val comps = ConnectedComponents.runWithVertices(idName.select("id"), edges)
-      val canon = comps.join(idName, "id")
-        .groupBy("component").agg(min("member").as("canon"))
-      comps.join(idName, "id").join(canon, "component")
+      // member is consumed by canon AND the final projection — tracked so
+      // the CC-tail groupBy + join doesn't execute twice
+      val member = graft.util.TempCaches.track(comps.join(idName, "id"))
+      val canon = member.groupBy("component").agg(min("member").as("canon"))
+      member.join(canon, "component")
         .select(col("member"), col("canon")).distinct()
     }),
     // skew-safe salted aggregation (operators/Salting.scala) under the

@@ -169,6 +169,10 @@ final case class PatternMatch(nodes: DataFrame, edges: DataFrame) {
     val typed = if (relTypes.isEmpty) edges else edges.where(col("rel_type").isin(relTypes.toSeq: _*))
     val e = typed.select(col("src").as("__sp_src"), col("dst").as("__sp_dst"))
     val starts = bound.select(col(s"${from}_id").as("__sp_start")).distinct()
+    // reached = lazy union of per-level CHECKPOINTED frontiers: each level is
+    // already a shallow materialized leaf, so unioning them costs no extra
+    // job — re-checkpointing the union every round (the previous shape) paid
+    // one full materialization pass per BFS level for data already resident
     var reached = starts
       .select(col("__sp_start"), col("__sp_start").as("__sp_end"), lit(0L).as("__sp_len"))
       .localCheckpoint(true)
@@ -184,7 +188,7 @@ final case class PatternMatch(nodes: DataFrame, edges: DataFrame) {
         .localCheckpoint(true)
       exhausted = next.isEmpty
       if (!exhausted) {
-        reached = reached.unionByName(next).localCheckpoint(true)
+        reached = reached.unionByName(next)
         frontier = next
       }
       k += 1

@@ -107,8 +107,12 @@ object Canonicalize {
             .where(col("src") =!= col("dst")).distinct())
       else
         ConnectedComponents.runSeeded(edges, dictSeeds(dict))
+    // no distinct: names feeds only canonMap's per-component min(struct) —
+    // a multiplicity-blind aggregate — so deduping the union first was one
+    // extra vocabulary-wide shuffle for an identical result (idNames() keeps
+    // the distinct for its public one-row-per-id contract)
     val names = sides.withColumn("is_dict", lit(false))
-      .unionByName(dictNames(dict)).distinct()
+      .unionByName(dictNames(dict))
     // rewrite references cmap in TWO independent join subtrees (subject and
     // object side) — without materializing it, the comps+canonMap DAG would
     // execute twice inside the rewrite action. cmap is vocabulary-sized.

@@ -213,12 +213,13 @@ object SimilaritySearch {
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
           s => s.getField("x")).as("cvec"))
-      // materialize each round's centroids (≤ cells tiny rows): the lazy
+      // each round's centroids are persisted (≤ cells tiny rows): the lazy
       // chain would otherwise replay EVERY earlier round at each downstream
-      // use (each broadcast of `centroids` re-evaluates its whole lineage)
-      val p = graft.util.TempCaches.track(updated)
-      p.count()
-      centroids = p
+      // use (each broadcast of `centroids` re-evaluates its whole lineage).
+      // The persist is left LAZY — the next round's (or the index pass's)
+      // first job materializes it into the cache, so the rounds pipeline
+      // into consumer jobs instead of paying one extra count() job each
+      centroids = graft.util.TempCaches.track(updated)
     }
 
     val indexed = assign(c0, centroids)
