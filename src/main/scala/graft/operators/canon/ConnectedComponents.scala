@@ -121,11 +121,17 @@ object ConnectedComponents {
     val bridges = sd.join(minRoot.select(col("id"), col("root").as("mroot")), Seq("id"))
       .where(col("root") =!= col("mroot"))
       .select(col("root").as("src"), col("mroot").as("dst"))
-    val keys = minRoot.select(col("id"))
-    val contract = graft.util.TempCaches.track(minRoot
-      .join(keys.withColumnRenamed("id", "root"), Seq("root"), "left_anti"))
-    val demoted = minRoot
-      .join(keys.withColumnRenamed("id", "root"), Seq("root"), "left_semi")
+    // contract (root is NOT itself a seeded id) and demoted (root IS) are
+    // complementary slices of the same root∈ids membership test: ONE marked
+    // left_outer join, cached, filtered both ways — previously an anti-join
+    // AND a semi-join each re-ran the probe (two dict-sized shuffle stages
+    // where one suffices; the canon stage's cost is stage count, not bytes)
+    val marked = graft.util.TempCaches.track(minRoot.join(
+      minRoot.select(col("id").as("root"), lit(true).as("__is_root")),
+      Seq("root"), "left_outer"))
+    val contract = graft.util.TempCaches.track(
+      marked.where(col("__is_root").isNull).select(col("id"), col("root")))
+    val demoted = marked.where(col("__is_root").isNotNull)
       .select(col("id").as("src"), col("root").as("dst"))
     def subst(e: DataFrame, side: String): DataFrame =
       e.join(contract.select(col("id").as(side), col("root").as(s"${side}_r")),
@@ -149,13 +155,14 @@ object ConnectedComponents {
     // residual edge anchors its own star — and must itself appear in the
     // output (run()'s contract: every id of the composed graph is covered)
     val compByRoot = comp.select(col("id").as("root"), col("component"))
-    val rootComp = contract
+    // one join serves both the contracted ids AND their root self-rows: the
+    // union precedes the join (duplicate (root, root) rows are fine — the
+    // final groupBy-min dedups identical components), replacing two joins
+    // plus a roots-distinct with a single probe of compByRoot
+    val rootRows = contract
+      .unionByName(contract.select(col("root").as("id"), col("root")))
       .join(compByRoot, Seq("root"), "left_outer")
       .select(col("id"), coalesce(col("component"), col("root")).as("component"))
-    val rootRows = contract.select(col("root")).distinct()
-      .join(compByRoot, Seq("root"), "left_outer")
-      .select(col("root").as("id"), coalesce(col("component"), col("root")).as("component"))
-      .unionByName(rootComp)
     // contract stays persisted (TempCaches-tracked): the returned plan still
     // references it via rootRows, and it is entity-dictionary-sized —
     // unpersisting here would recompute it per downstream action instead.

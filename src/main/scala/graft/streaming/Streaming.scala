@@ -287,17 +287,19 @@ object Streaming {
     val rawCols = Seq("ts", "event_type", "value")
     val events = raw
       .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
-    val maxTsMs = events.agg(max(unix_millis(col("ts")))).as[Long].head()
     // sentinel lead DERIVED from the actual windowDur + watermark (not a
     // fixed default silently coupled to "1 hour"): the watermark must end up
     // strictly past the END of the window containing the last real event, or
     // append mode never emits the final windows — silent row loss. Evaluated
     // with the engine's own window/interval arithmetic so any parsable
-    // duration strings stay consistent with the streaming plan.
-    val sentinelMs = spark.range(1)
-      .select(window(timestamp_millis(lit(maxTsMs)), windowDur).as("w"))
-      .select(unix_millis(col("w").getField("end") + expr(s"INTERVAL $watermark")) + lit(60000L))
-      .as[Long].head()
+    // duration strings stay consistent with the streaming plan — folded into
+    // the SAME job as the max-ts aggregate (the separate one-row follow-up
+    // job bought nothing but a scheduler round trip).
+    val (maxTsMs, sentinelMs) = events.agg(max(col("ts")).as("m"))
+      .select(unix_millis(col("m")).as("max_ms"),
+        (unix_millis(window(col("m"), windowDur).getField("end") +
+          expr(s"INTERVAL $watermark")) + lit(60000L)).as("sentinel_ms"))
+      .as[(Long, Long)].head()
     // hard-link the corpus in, append only the one sentinel row — the corpus
     // is never rewritten (see sessionizeParquetJob); raw ts type keeps the
     // prep dir single-schema
