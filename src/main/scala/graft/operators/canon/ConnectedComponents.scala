@@ -70,6 +70,16 @@ object ConnectedComponents {
       ls.unpersist(false)
       val sig = signature(next)
       converged = sig == prevSig
+      // Early termination: the algorithm's fixpoints are exactly the
+      // disjoint unions of min-rooted stars (Kiveris et al. §3 — the
+      // alternation converges to one star per component), and a star set is
+      // directly checkable: one edge per src AND no src is also a dst.
+      // Proof of safety: stars are fixpoints (largeStar and smallStar both
+      // map a min-rooted star to itself), so stopping here yields the SAME
+      // final edge set the signature criterion would after its confirm
+      // round — which at scale costs 4+ shuffles of the edge set against
+      // this check's one partial-agg aggregate + one semi-join.
+      if (!converged && isStarSet(next)) converged = true
       prevSig = sig
       e.unpersist(false)
       e = next
@@ -178,6 +188,17 @@ object ConnectedComponents {
       .distinct()
       .join(comp, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Is `e` a disjoint union of min-rooted stars (the fixpoint form)?
+    * Condition: every src has exactly one edge (rows are distinct, so
+    * count == countDistinct(src)) and no src appears as a dst. Both checks
+    * run over the freshly-checkpointed round output.
+    */
+  private def isStarSet(e: DataFrame): Boolean = {
+    val row = e.agg(count(lit(1)).as("n"), countDistinct(col("src")).as("s")).head()
+    row.getLong(0) == row.getLong(1) &&
+      e.join(e.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi").isEmpty
   }
 
   /** Order-independent convergence signature: (edge count, xor/sum of edge

@@ -89,10 +89,16 @@ object EntityLinker {
     val qBands = qSh
       .withColumn("b", explode(bands(minhashSignature(col("q_sh")))))
       .select(col("norm"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
-    // un-banded dictionary: one wide row per alias (shingles + names)
-    val dAlias = dict.select(col("alias"), col("canonical_id"), col("canonical_name"))
-      .distinct()
-      .withColumn("d_sh", shingles(col("alias")))
+    // un-banded dictionary: one wide row per alias (shingles + names).
+    // No pre-distinct — exact duplicate alias rows cannot change the result
+    // (candPairs distincts the banded pairs; the final max-by per surface is
+    // multiplicity-blind), so the dedup shuffle bought nothing. Tracked
+    // persist: dAlias feeds BOTH the banded index and the verify join-back,
+    // and un-materialized each consumer re-computed every alias's shingle
+    // array + signature.
+    val dAlias = graft.util.TempCaches.track(
+      dict.select(col("alias"), col("canonical_id"), col("canonical_name"))
+        .withColumn("d_sh", shingles(col("alias"))))
     // banded index: narrow rows only
     val dBands = dAlias
       .select(col("alias"), explode(bands(minhashSignature(col("d_sh")))).as("b"))
