@@ -90,17 +90,34 @@ object SparkEntry {
       val types = TpchKg.dict(s, dir)
         .select(col("canonical_name").as("canon_name"), col("entity_type")).distinct()
       val g = Materialize.graph(canon.as[graft.model.CanonTriple], Some(types))
-      val edges = g.edges.localCheckpoint(true)
-      // the name-distinct view needs its own edge id (provenance ids
-      // collapsed with the multiplicity): rows are unique on
-      // (src, dst, rel_type), so a content hash of exactly that is one —
-      // expandVarLength keys relationship uniqueness on it
-      val patternEdges = edges.select(col("src"), col("dst"), col("rel_type"))
-        .distinct()
-        .select(GraftFunctions.fnv64(concat_ws(":", col("src"), col("dst"),
-          col("rel_type"))).as("id"), col("src"), col("dst"), col("rel_type"))
-        .localCheckpoint(true)
-      val nodes = g.nodes.localCheckpoint(true)
+      // nodes and the edges→patternEdges chain are INDEPENDENT consumers of
+      // the canon checkpoint: materialize them concurrently (ordinary
+      // multi-threaded job submission — guide §2.6 overlap-independent-jobs;
+      // the same shape Pipeline's S5a ∥ S5b uses) so one chain's straggler
+      // tail backfills with the other's tasks instead of idling the session.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fEdges = Future {
+        val edges = g.edges.localCheckpoint(true)
+        // the name-distinct view needs its own edge id (provenance ids
+        // collapsed with the multiplicity): rows are unique on
+        // (src, dst, rel_type), so a content hash of exactly that is one —
+        // expandVarLength keys relationship uniqueness on it
+        val patternEdges = edges.select(col("src"), col("dst"), col("rel_type"))
+          .distinct()
+          .select(GraftFunctions.fnv64(concat_ws(":", col("src"), col("dst"),
+            col("rel_type"))).as("id"), col("src"), col("dst"), col("rel_type"))
+          .localCheckpoint(true)
+        (edges, patternEdges)
+      }
+      val fNodes = Future(g.nodes.localCheckpoint(true))
+      // settle BOTH before surfacing either failure (a half-built cache entry
+      // must not be memoized)
+      val rEdges = Await.ready(fEdges, Duration.Inf).value.get
+      val rNodes = Await.ready(fNodes, Duration.Inf).value.get
+      val (edges, patternEdges) = rEdges.get
+      val nodes = rNodes.get
       // canon fed only the materialization; its blocks are dead weight once
       // nodes+edges are checkpointed. linked STAYS resident: kg_linked
       // serves from it (the same stage-snapshot serving kg_nodes/kg_edges

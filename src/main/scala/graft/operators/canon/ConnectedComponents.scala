@@ -37,17 +37,24 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0
-    var prevSig = signature(e)
     // Empty graph: nothing to iterate AND nothing to emit (run()'s contract
     // covers ids occurring in edges — there are none). The seeded pipeline
     // path hits this whenever the dictionary pre-resolves every observed
     // surface: without the short-circuit it would still pay a full
     // large∘small round + checkpoint + re-signature on zero rows.
-    if (prevSig._1 == 0L) {
+    // count(), not the old pre-loop signature aggregate: one pass is still
+    // needed here — it is what populates e's persist before the first round
+    // (a limit-1 probe would materialize one partition and leave the round
+    // to re-run the distinct's map stage) — but the signature arithmetic on
+    // it bought nothing: the convergence compare is seeded by the sentinel
+    // below (round 1 can never match it, and the star-set fixpoint check
+    // already stops single-round graphs without a confirm round).
+    if (e.count() == 0L) {
       e.unpersist(false)
       return spark.range(0)
         .select(col("id"), col("id").as("component"))
     }
+    var prevSig: (Long, String, Long) = (-1L, "", -1L)
     while (!converged && iter < maxIter) {
       // one materialization per round: localCheckpoint(eager) computes the
       // large-star∘small-star composition AND truncates lineage so round N's
@@ -68,8 +75,12 @@ object ConnectedComponents {
       val ls = largeStar(e).persist(StorageLevel.MEMORY_AND_DISK)
       val next = smallStar(ls).localCheckpoint(true)
       ls.unpersist(false)
-      val sig = signature(next)
-      converged = sig == prevSig
+      // ONE pass over the round's output serves both convergence criteria:
+      // the order-independent signature (count + hash sum) and the star-set
+      // precondition (count == countDistinct(src)) ride the same aggregate
+      // job — previously two full scans of the checkpointed round output.
+      val sig = signatureAndStars(next)
+      converged = (sig._1, sig._2) == (prevSig._1, prevSig._2)
       // Early termination: the algorithm's fixpoints are exactly the
       // disjoint unions of min-rooted stars (Kiveris et al. §3 — the
       // alternation converges to one star per component), and a star set is
@@ -78,8 +89,9 @@ object ConnectedComponents {
       // map a min-rooted star to itself), so stopping here yields the SAME
       // final edge set the signature criterion would after its confirm
       // round — which at scale costs 4+ shuffles of the edge set against
-      // this check's one partial-agg aggregate + one semi-join.
-      if (!converged && isStarSet(next)) converged = true
+      // this check's piggybacked aggregate + one semi-join (the semi-join
+      // runs only when the one-edge-per-src precondition holds).
+      if (!converged && sig._1 == sig._3 && noSrcIsDst(next)) converged = true
       prevSig = sig
       e.unpersist(false)
       e = next
@@ -190,28 +202,28 @@ object ConnectedComponents {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
-  /** Is `e` a disjoint union of min-rooted stars (the fixpoint form)?
-    * Condition: every src has exactly one edge (rows are distinct, so
-    * count == countDistinct(src)) and no src appears as a dst. Both checks
-    * run over the freshly-checkpointed round output.
+  /** Star-set condition, part 2: no src appears as a dst (part 1 — one edge
+    * per src — comes free with [[signatureAndStars]]'s countDistinct). Runs
+    * over the freshly-checkpointed round output, only when part 1 held.
     */
-  private def isStarSet(e: DataFrame): Boolean = {
-    val row = e.agg(count(lit(1)).as("n"), countDistinct(col("src")).as("s")).head()
-    row.getLong(0) == row.getLong(1) &&
-      e.join(e.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi").isEmpty
-  }
+  private def noSrcIsDst(e: DataFrame): Boolean =
+    e.join(e.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi").isEmpty
 
-  /** Order-independent convergence signature: (edge count, xor/sum of edge
-    * hashes). Collision probability negligible vs re-running one extra round.
+  /** One-pass round statistics: (edge count, order-independent signature
+    * hash sum, distinct src count). The first two are the convergence
+    * signature (collision probability negligible vs re-running one extra
+    * round); the third is the star-set precondition — merged so a round
+    * scans its output once, not once per criterion.
     */
-  private def signature(e: DataFrame): (Long, String) = {
+  private def signatureAndStars(e: DataFrame): (Long, String, Long) = {
     // decimal sum: ANSI mode (Spark 4 default) would overflow a LongType sum
     val row = e.agg(
       count(lit(1)).as("n"),
       coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)")).as("h")
+        lit(0).cast("decimal(38,0)")).as("h"),
+      countDistinct(col("src")).as("s")
     ).head()
-    (row.getLong(0), String.valueOf(row.get(1)))
+    (row.getLong(0), String.valueOf(row.get(1)), row.getLong(2))
   }
 
   /** large-star: connect every strictly-larger neighbor of u to u's min

@@ -206,7 +206,12 @@ object Streaming {
     // carries the RAW ts type (TIMESTAMP_NTZ) so the dir has one schema.
     Streaming.linkInto(eventsPath, prepDir)
     val tsRawType = raw.schema("ts").dataType
+    // coalesce(1): perUserMax is post-shuffle (32 partitions locally), so the
+    // bare write emitted one tiny sentinel file PER partition — each an extra
+    // split (task + open cost) for the single microbatch that reads the prep
+    // dir (guide §6 small-files). The sentinel set is |users| rows; one file.
     perUserMax.select(col("user_id"))
+      .coalesce(1)
       .select(lit(-1L).as("event_id"),
         timestamp_millis(lit(sentinelMs)).cast(tsRawType).as("ts"),
         col("user_id"), lit("__sentinel").as("event_type"), lit(0.0).as("value"))
