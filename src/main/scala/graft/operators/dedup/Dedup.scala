@@ -242,8 +242,15 @@ object Dedup {
     val sigs = array((0 until numTables).map(tb =>
       struct(lit(tb).as("tb"),
         SimilaritySearch.lshSignature(col("v"), r, dim, seed + tb).as("sig"))): _*)
-    val banded = e.select(col("id"), explode(sigs).as("b"))
-      .select(col("id"), col("b.tb").as("tb"), col("b.sig").as("sig"))
+    // tracked persist: the self-join consumes banded TWICE (stream side and
+    // the broadcast/hash build side — no exchange reuse across a broadcast
+    // boundary), and each un-materialized consumer re-ran the full
+    // numTables × r × dim hyperplane-signature computation over every
+    // vector. Same shape as minhashLsh's persisted signature table; narrow
+    // rows (id, tb, sig), numTables per vector.
+    val banded = graft.util.TempCaches.track(
+      e.select(col("id"), explode(sigs).as("b"))
+        .select(col("id"), col("b.tb").as("tb"), col("b.sig").as("sig")))
     banded.select(col("tb"), col("sig"), col("id").as("id_a"))
       .join(banded.select(col("tb"), col("sig"), col("id").as("id_b")), Seq("tb", "sig"))
       .where(col("id_a") < col("id_b"))
